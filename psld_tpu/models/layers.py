@@ -1,0 +1,352 @@
+"""NCSN++ layer library in flax.linen, NHWC.
+
+TPU-first re-implementation of the reference layer zoo
+(song_sde/layers.py, song_sde/layerspp.py): same compute graph and
+initialization (variance_scaling fan_avg uniform -- the JAX initializer the
+torch code was itself ported from, layers.py:39-76), idiomatic module
+structure instead of the flat ModuleList + cursor walk.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Any, Callable, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from psld_tpu.ops import (
+    conv_downsample_2d,
+    downsample_2d,
+    naive_downsample_2d,
+    naive_upsample_2d,
+    upsample_2d,
+    upsample_conv_2d,
+)
+
+SQRT2 = float(np.sqrt(2.0))
+
+
+def get_act(name: str) -> Callable:
+    """Activation dispatch (reference layers.py:14-26)."""
+    name = name.lower()
+    if name == "elu":
+        return jax.nn.elu
+    if name == "relu":
+        return jax.nn.relu
+    if name == "lrelu":
+        return partial(jax.nn.leaky_relu, negative_slope=0.2)
+    if name == "swish":
+        return jax.nn.silu
+    raise NotImplementedError(f"activation function {name} does not exist!")
+
+
+def default_init(scale: float = 1.0):
+    """DDPM initialization (reference layers.py:73-76)."""
+    scale = 1e-10 if scale == 0 else scale
+    return jax.nn.initializers.variance_scaling(scale, "fan_avg", "uniform")
+
+
+def conv3x3(out_ch: int, *, stride: int = 1, bias: bool = True,
+            init_scale: float = 1.0,
+            padding: Any = ((1, 1), (1, 1))) -> nn.Conv:
+    """3x3 conv with DDPM init (reference layers.py:103-109)."""
+    return nn.Conv(out_ch, (3, 3), strides=(stride, stride), padding=padding,
+                   use_bias=bias, kernel_init=default_init(init_scale),
+                   bias_init=nn.initializers.zeros)
+
+
+def conv1x1(out_ch: int, *, bias: bool = True, init_scale: float = 1.0) -> nn.Conv:
+    """1x1 conv with DDPM init (reference layers.py:85-90)."""
+    return nn.Conv(out_ch, (1, 1), use_bias=bias,
+                   kernel_init=default_init(init_scale),
+                   bias_init=nn.initializers.zeros)
+
+
+def group_norm(ch: int) -> nn.GroupNorm:
+    """GroupNorm(min(ch//4, 32)) as used inline throughout NCSN++
+    (reference layerspp.py:67-68)."""
+    return nn.GroupNorm(num_groups=min(ch // 4, 32), epsilon=1e-6)
+
+
+def get_timestep_embedding(timesteps: jax.Array, embedding_dim: int,
+                           max_positions: int = 10_000) -> jax.Array:
+    """DDPM sinusoidal embedding (reference layers.py:500-514)."""
+    assert timesteps.ndim == 1
+    half_dim = embedding_dim // 2
+    emb = math.log(max_positions) / (half_dim - 1)
+    emb = jnp.exp(jnp.arange(half_dim, dtype=jnp.float32) * -emb)
+    emb = timesteps.astype(jnp.float32)[:, None] * emb[None, :]
+    emb = jnp.concatenate([jnp.sin(emb), jnp.cos(emb)], axis=1)
+    if embedding_dim % 2 == 1:
+        emb = jnp.pad(emb, ((0, 0), (0, 1)))
+    return emb
+
+
+class GaussianFourierProjection(nn.Module):
+    """Random Fourier features for noise levels (reference layerspp.py:32-41).
+
+    W is fixed at init (requires_grad=False in the reference); here it lives
+    in params with a stop_gradient so optimizer/EMA handling stays uniform.
+    """
+
+    embedding_size: int = 256
+    scale: float = 1.0
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        w = self.param(
+            "W",
+            lambda key, shape: jax.random.normal(key, shape, jnp.float32)
+            * self.scale,
+            (self.embedding_size,),
+        )
+        w = jax.lax.stop_gradient(w)
+        x_proj = x[:, None] * w[None, :] * 2 * np.pi
+        return jnp.concatenate([jnp.sin(x_proj), jnp.cos(x_proj)], axis=-1)
+
+
+class NIN(nn.Module):
+    """1x1 'network-in-network' projection over channels
+    (reference layers.py:531-540); in NHWC this is a Dense on the last axis.
+    """
+
+    num_units: int
+    init_scale: float = 0.1
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        return nn.Dense(
+            self.num_units,
+            kernel_init=default_init(self.init_scale),
+            bias_init=nn.initializers.zeros,
+        )(x)
+
+
+class Combine(nn.Module):
+    """Combine a progressive-input pyramid branch with the trunk
+    (reference layerspp.py:44-59)."""
+
+    dim2: int
+    method: str = "cat"
+
+    @nn.compact
+    def __call__(self, x: jax.Array, y: jax.Array) -> jax.Array:
+        h = conv1x1(self.dim2)(x)
+        if self.method == "cat":
+            return jnp.concatenate([h, y], axis=-1)
+        if self.method == "sum":
+            return h + y
+        raise ValueError(f"Method {self.method} not recognized.")
+
+
+class AttnBlock(nn.Module):
+    """Full-spatial single-head self-attention (reference layerspp.py:62-91).
+
+    At NCSN++'s attn resolutions (<= 16x16 = 256 tokens) the whole score
+    matrix fits on-chip; XLA maps the two einsums onto the MXU directly.
+    """
+
+    skip_rescale: bool = False
+    init_scale: float = 0.0
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        b, h_dim, w_dim, c = x.shape
+        h = group_norm(c)(x)
+        q = NIN(c)(h)
+        k = NIN(c)(h)
+        v = NIN(c)(h)
+
+        q = q.reshape(b, h_dim * w_dim, c)
+        k = k.reshape(b, h_dim * w_dim, c)
+        v = v.reshape(b, h_dim * w_dim, c)
+        w = jnp.einsum("bqc,bkc->bqk", q, k,
+                       preferred_element_type=jnp.float32) * (int(c) ** -0.5)
+        w = jax.nn.softmax(w, axis=-1)
+        h = jnp.einsum("bqk,bkc->bqc", w, v,
+                       preferred_element_type=jnp.float32)
+        h = h.reshape(b, h_dim, w_dim, c).astype(x.dtype)
+        h = NIN(c, init_scale=self.init_scale)(h)
+        if not self.skip_rescale:
+            return x + h
+        return (x + h) / SQRT2
+
+
+class FIRConv2d(nn.Module):
+    """Conv2d fused with FIR resampling (StyleGAN2;
+    reference up_or_down_sampling.py:23-56)."""
+
+    out_ch: int
+    kernel: int = 3
+    up: bool = False
+    down: bool = False
+    resample_kernel: Sequence[float] = (1, 3, 3, 1)
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        assert not (self.up and self.down)
+        assert self.kernel >= 1 and self.kernel % 2 == 1
+        in_ch = x.shape[-1]
+        w = self.param(
+            "kernel", default_init(),
+            (self.kernel, self.kernel, in_ch, self.out_ch), jnp.float32,
+        )
+        k = list(self.resample_kernel)
+        if self.up:
+            x = upsample_conv_2d(x, w, k=k)
+        elif self.down:
+            x = conv_downsample_2d(x, w, k=k)
+        else:
+            pad = self.kernel // 2
+            x = jax.lax.conv_general_dilated(
+                x, w.astype(x.dtype), (1, 1),
+                ((pad, pad), (pad, pad)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+        if self.use_bias:
+            b = self.param("bias", nn.initializers.zeros, (self.out_ch,),
+                           jnp.float32)
+            x = x + b.astype(x.dtype)
+        return x
+
+
+class Upsample(nn.Module):
+    """(reference layerspp.py:94-126)"""
+
+    out_ch: int | None = None
+    with_conv: bool = False
+    fir: bool = False
+    fir_kernel: Sequence[float] = (1, 3, 3, 1)
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        b, h, w, c = x.shape
+        out_ch = self.out_ch or c
+        if not self.fir:
+            y = jax.image.resize(x, (b, h * 2, w * 2, c), method="nearest")
+            if self.with_conv:
+                y = conv3x3(out_ch)(y)
+        else:
+            if not self.with_conv:
+                y = upsample_2d(x, list(self.fir_kernel), factor=2)
+            else:
+                y = FIRConv2d(out_ch, kernel=3, up=True,
+                              resample_kernel=self.fir_kernel)(x)
+        return y
+
+
+class Downsample(nn.Module):
+    """(reference layerspp.py:129-163)"""
+
+    out_ch: int | None = None
+    with_conv: bool = False
+    fir: bool = False
+    fir_kernel: Sequence[float] = (1, 3, 3, 1)
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        c = x.shape[-1]
+        out_ch = self.out_ch or c
+        if not self.fir:
+            if self.with_conv:
+                # asymmetric (0,1) pad + VALID stride-2 (layerspp.py:152-154)
+                y = conv3x3(out_ch, stride=2, padding=((0, 1), (0, 1)))(x)
+            else:
+                y = nn.avg_pool(x, (2, 2), strides=(2, 2))
+        else:
+            if not self.with_conv:
+                y = downsample_2d(x, list(self.fir_kernel), factor=2)
+            else:
+                y = FIRConv2d(out_ch, kernel=3, down=True,
+                              resample_kernel=self.fir_kernel)(x)
+        return y
+
+
+class ResnetBlockDDPM(nn.Module):
+    """DDPM-style residual block (reference layerspp.py:166-209)."""
+
+    act: Callable
+    out_ch: int | None = None
+    conv_shortcut: bool = False
+    dropout: float = 0.1
+    skip_rescale: bool = False
+    init_scale: float = 0.0
+
+    @nn.compact
+    def __call__(self, x, temb=None, train: bool = False):
+        in_ch = x.shape[-1]
+        out_ch = self.out_ch or in_ch
+        h = self.act(group_norm(in_ch)(x))
+        h = conv3x3(out_ch)(h)
+        if temb is not None:
+            h += nn.Dense(out_ch, kernel_init=default_init(),
+                          bias_init=nn.initializers.zeros)(
+                self.act(temb))[:, None, None, :]
+        h = self.act(group_norm(out_ch)(h))
+        h = nn.Dropout(self.dropout, deterministic=not train)(h)
+        h = conv3x3(out_ch, init_scale=self.init_scale)(h)
+        if in_ch != out_ch:
+            if self.conv_shortcut:
+                x = conv3x3(out_ch)(x)
+            else:
+                x = NIN(out_ch)(x)
+        if not self.skip_rescale:
+            return x + h
+        return (x + h) / SQRT2
+
+
+class ResnetBlockBigGAN(nn.Module):
+    """BigGAN-style residual block with in-block resampling
+    (reference layerspp.py:212-274)."""
+
+    act: Callable
+    out_ch: int | None = None
+    up: bool = False
+    down: bool = False
+    dropout: float = 0.1
+    fir: bool = False
+    fir_kernel: Sequence[float] = (1, 3, 3, 1)
+    skip_rescale: bool = True
+    init_scale: float = 0.0
+
+    @nn.compact
+    def __call__(self, x, temb=None, train: bool = False):
+        in_ch = x.shape[-1]
+        out_ch = self.out_ch or in_ch
+        h = self.act(group_norm(in_ch)(x))
+
+        if self.up:
+            if self.fir:
+                h = upsample_2d(h, list(self.fir_kernel), factor=2)
+                x = upsample_2d(x, list(self.fir_kernel), factor=2)
+            else:
+                h = naive_upsample_2d(h, factor=2)
+                x = naive_upsample_2d(x, factor=2)
+        elif self.down:
+            if self.fir:
+                h = downsample_2d(h, list(self.fir_kernel), factor=2)
+                x = downsample_2d(x, list(self.fir_kernel), factor=2)
+            else:
+                h = naive_downsample_2d(h, factor=2)
+                x = naive_downsample_2d(x, factor=2)
+
+        h = conv3x3(out_ch)(h)
+        if temb is not None:
+            h += nn.Dense(out_ch, kernel_init=default_init(),
+                          bias_init=nn.initializers.zeros)(
+                self.act(temb))[:, None, None, :]
+        h = self.act(group_norm(out_ch)(h))
+        h = nn.Dropout(self.dropout, deterministic=not train)(h)
+        h = conv3x3(out_ch, init_scale=self.init_scale)(h)
+
+        if in_ch != out_ch or self.up or self.down:
+            x = conv1x1(out_ch)(x)
+
+        if not self.skip_rescale:
+            return x + h
+        return (x + h) / SQRT2

@@ -1,0 +1,307 @@
+"""NCSN++ score U-Net and noise-conditional classifier, flax.linen, NHWC.
+
+TPU-first re-implementation of the reference NCSN++
+(song_sde/ncsnpp.py:35-438, song_sde/ncsnpp_clf.py:35-283): the same compute
+graph -- Fourier/positional time embeddings, BigGAN/DDPM resblocks, FIR or
+naive resampling, full-spatial attention at the configured resolutions,
+progressive input/output pyramids, skip-rescale /sqrt(2) -- expressed as
+structured submodules instead of a flat ModuleList walked with a cursor.
+For PSLD, in_ch = out_ch = 2 * num_channels (x || m on the channel axis).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from psld_tpu.models import layers
+from psld_tpu.registry import register_module
+
+SQRT2 = float(np.sqrt(2.0))
+
+
+def _model_kwargs(config) -> dict:
+    """Extract hashable constructor kwargs from a config tree
+    (diffusion.model.score_fn + data.image_size)."""
+    sf = config.model.score_fn
+    return dict(
+        image_size=int(config.data.image_size),
+        in_ch=int(sf.in_ch),
+        out_ch=int(sf.get("out_ch", sf.in_ch)),
+        nonlinearity=str(sf.nonlinearity),
+        nf=int(sf.nf),
+        ch_mult=tuple(sf.ch_mult),
+        num_res_blocks=int(sf.num_res_blocks),
+        attn_resolutions=tuple(sf.attn_resolutions),
+        dropout=float(sf.dropout),
+        resamp_with_conv=bool(sf.resamp_with_conv),
+        noise_cond=bool(sf.noise_cond),
+        fir=bool(sf.fir),
+        fir_kernel=tuple(sf.fir_kernel),
+        skip_rescale=bool(sf.skip_rescale),
+        resblock_type=str(sf.resblock_type).lower(),
+        progressive=str(sf.progressive).lower(),
+        progressive_input=str(sf.progressive_input).lower(),
+        progressive_combine=str(sf.progressive_combine).lower(),
+        embedding_type=str(sf.embedding_type).lower(),
+        init_scale=float(sf.init_scale),
+        fourier_scale=float(sf.fourier_scale),
+    )
+
+
+class _NCSNBase(nn.Module):
+    """Shared configuration fields + encoder trunk."""
+
+    image_size: int = 32
+    in_ch: int = 6
+    out_ch: int = 6
+    nonlinearity: str = "swish"
+    nf: int = 128
+    ch_mult: Sequence[int] = (1, 2, 2, 2)
+    num_res_blocks: int = 4
+    attn_resolutions: Sequence[int] = (16,)
+    dropout: float = 0.1
+    resamp_with_conv: bool = True
+    noise_cond: bool = True
+    fir: bool = False
+    fir_kernel: Sequence[float] = (1, 3, 3, 1)
+    skip_rescale: bool = True
+    resblock_type: str = "biggan"
+    progressive: str = "none"
+    progressive_input: str = "none"
+    progressive_combine: str = "sum"
+    embedding_type: str = "positional"
+    init_scale: float = 0.0
+    fourier_scale: float = 16.0
+
+    def _validate(self):
+        assert self.progressive in ("none", "output_skip", "residual")
+        assert self.progressive_input in ("none", "input_skip", "residual")
+        assert self.embedding_type in ("fourier", "positional")
+        assert self.resblock_type in ("ddpm", "biggan")
+
+    @property
+    def act(self):
+        return layers.get_act(self.nonlinearity)
+
+    @property
+    def all_resolutions(self):
+        return [self.image_size // (2**i) for i in range(len(self.ch_mult))]
+
+    def _resnet_block(self, **kw):
+        if self.resblock_type == "ddpm":
+            return layers.ResnetBlockDDPM(
+                act=self.act, dropout=self.dropout,
+                init_scale=self.init_scale, skip_rescale=self.skip_rescale,
+                **{k: v for k, v in kw.items() if k not in ("up", "down")},
+            )
+        return layers.ResnetBlockBigGAN(
+            act=self.act, dropout=self.dropout, fir=self.fir,
+            fir_kernel=self.fir_kernel, init_scale=self.init_scale,
+            skip_rescale=self.skip_rescale, **kw,
+        )
+
+    def _attn(self):
+        return layers.AttnBlock(skip_rescale=self.skip_rescale,
+                                init_scale=self.init_scale)
+
+    def _time_embedding(self, time_cond):
+        """(reference ncsnpp.py:287-313)"""
+        if self.embedding_type == "fourier":
+            temb = layers.GaussianFourierProjection(
+                embedding_size=self.nf, scale=self.fourier_scale
+            )(jnp.log(time_cond))
+        else:
+            temb = layers.get_timestep_embedding(time_cond, self.nf)
+        if self.noise_cond:
+            dense = partial(nn.Dense, kernel_init=layers.default_init(),
+                            bias_init=nn.initializers.zeros)
+            temb = dense(self.nf * 4)(temb)
+            temb = dense(self.nf * 4)(self.act(temb))
+        else:
+            temb = None
+        return temb
+
+    def _encoder(self, x, temb, train: bool):
+        """Down path + middle (reference ncsnpp.py:319-367); returns the
+        middle output and the skip stack."""
+        num_resolutions = len(self.ch_mult)
+        all_res = self.all_resolutions
+
+        input_pyramid = None
+        if self.progressive_input != "none":
+            input_pyramid = x
+
+        hs = [layers.conv3x3(self.nf)(x)]
+        for i_level in range(num_resolutions):
+            for _ in range(self.num_res_blocks):
+                h = self._resnet_block(out_ch=self.nf * self.ch_mult[i_level])(
+                    hs[-1], temb, train)
+                if all_res[i_level] in self.attn_resolutions:
+                    h = self._attn()(h)
+                hs.append(h)
+
+            if i_level != num_resolutions - 1:
+                if self.resblock_type == "ddpm":
+                    h = layers.Downsample(
+                        with_conv=self.resamp_with_conv, fir=self.fir,
+                        fir_kernel=self.fir_kernel)(hs[-1])
+                else:
+                    h = self._resnet_block(down=True)(hs[-1], temb, train)
+
+                if self.progressive_input == "input_skip":
+                    input_pyramid = layers.Downsample(
+                        fir=self.fir, fir_kernel=self.fir_kernel,
+                        with_conv=False)(input_pyramid)
+                    h = layers.Combine(
+                        dim2=h.shape[-1],
+                        method=self.progressive_combine)(input_pyramid, h)
+                elif self.progressive_input == "residual":
+                    input_pyramid = layers.Downsample(
+                        out_ch=h.shape[-1], fir=self.fir,
+                        fir_kernel=self.fir_kernel,
+                        with_conv=True)(input_pyramid)
+                    if self.skip_rescale:
+                        input_pyramid = (input_pyramid + h) / SQRT2
+                    else:
+                        input_pyramid = input_pyramid + h
+                    h = input_pyramid
+                hs.append(h)
+
+        h = hs[-1]
+        h = self._resnet_block()(h, temb, train)
+        h = self._attn()(h)
+        h = self._resnet_block()(h, temb, train)
+        return h, hs
+
+
+@register_module(category="score_fn", name="ncsnpp")
+class NCSNpp(_NCSNBase):
+    """NCSN++ (reference song_sde/ncsnpp.py:35-438)."""
+
+    @classmethod
+    def from_config(cls, config) -> "NCSNpp":
+        return cls(**_model_kwargs(config))
+
+    @nn.compact
+    def __call__(self, x: jax.Array, time_cond: jax.Array,
+                 train: bool = False) -> jax.Array:
+        self._validate()
+        num_resolutions = len(self.ch_mult)
+        all_res = self.all_resolutions
+
+        temb = self._time_embedding(time_cond)
+        h, hs = self._encoder(x, temb, train)
+
+        # Upsampling path (reference ncsnpp.py:369-421)
+        pyramid = None
+        for i_level in reversed(range(num_resolutions)):
+            for _ in range(self.num_res_blocks + 1):
+                h = self._resnet_block(out_ch=self.nf * self.ch_mult[i_level])(
+                    jnp.concatenate([h, hs.pop()], axis=-1), temb, train)
+
+            if all_res[i_level] in self.attn_resolutions:
+                h = self._attn()(h)
+
+            if self.progressive != "none":
+                if i_level == num_resolutions - 1:
+                    if self.progressive == "output_skip":
+                        pyramid = layers.conv3x3(
+                            self.out_ch, init_scale=self.init_scale)(
+                            self.act(layers.group_norm(h.shape[-1])(h)))
+                    else:  # residual
+                        pyramid = layers.conv3x3(h.shape[-1])(
+                            self.act(layers.group_norm(h.shape[-1])(h)))
+                else:
+                    if self.progressive == "output_skip":
+                        pyramid = layers.Upsample(
+                            fir=self.fir, fir_kernel=self.fir_kernel,
+                            with_conv=False)(pyramid)
+                        pyramid_h = layers.conv3x3(
+                            self.out_ch, init_scale=self.init_scale)(
+                            self.act(layers.group_norm(h.shape[-1])(h)))
+                        pyramid = pyramid + pyramid_h
+                    else:  # residual
+                        pyramid = layers.Upsample(
+                            out_ch=h.shape[-1], fir=self.fir,
+                            fir_kernel=self.fir_kernel,
+                            with_conv=True)(pyramid)
+                        if self.skip_rescale:
+                            pyramid = (pyramid + h) / SQRT2
+                        else:
+                            pyramid = pyramid + h
+                        h = pyramid
+
+            if i_level != 0:
+                if self.resblock_type == "ddpm":
+                    h = layers.Upsample(
+                        with_conv=self.resamp_with_conv, fir=self.fir,
+                        fir_kernel=self.fir_kernel)(h)
+                else:
+                    h = self._resnet_block(up=True)(h, temb, train)
+
+        assert not hs
+
+        if self.progressive == "output_skip":
+            h = pyramid
+        else:
+            h = self.act(layers.group_norm(h.shape[-1])(h))
+            h = layers.conv3x3(self.out_ch, init_scale=self.init_scale)(h)
+        return h
+
+
+@register_module(category="clf_fn", name="ncsnpp_clf")
+class NCSNppClassifier(_NCSNBase):
+    """Noise-conditional classifier: NCSN++ encoder trunk + bias-free linear
+    head (reference song_sde/ncsnpp_clf.py:35-283)."""
+
+    n_cls: int = 10
+
+    @classmethod
+    def from_config(cls, config) -> "NCSNppClassifier":
+        kwargs = _model_kwargs_clf(config)
+        return cls(**kwargs)
+
+    @nn.compact
+    def __call__(self, x: jax.Array, time_cond: jax.Array,
+                 train: bool = False) -> jax.Array:
+        self._validate()
+        temb = self._time_embedding(time_cond)
+        h, _ = self._encoder(x, temb, train)
+        h = h.reshape(h.shape[0], -1)
+        return nn.Dense(self.n_cls, use_bias=False,
+                        kernel_init=layers.default_init())(h)
+
+
+def _model_kwargs_clf(config) -> dict:
+    cf = config.model.clf_fn
+    kwargs = dict(
+        image_size=int(config.data.image_size),
+        in_ch=int(cf.in_ch),
+        out_ch=int(cf.in_ch),
+        nonlinearity=str(cf.nonlinearity),
+        nf=int(cf.nf),
+        ch_mult=tuple(cf.ch_mult),
+        num_res_blocks=int(cf.num_res_blocks),
+        attn_resolutions=tuple(cf.attn_resolutions),
+        dropout=float(cf.dropout),
+        resamp_with_conv=bool(cf.resamp_with_conv),
+        noise_cond=bool(cf.noise_cond),
+        fir=bool(cf.fir),
+        fir_kernel=tuple(cf.fir_kernel),
+        skip_rescale=bool(cf.skip_rescale),
+        resblock_type=str(cf.resblock_type).lower(),
+        progressive=str(cf.progressive).lower(),
+        progressive_input=str(cf.progressive_input).lower(),
+        progressive_combine=str(cf.progressive_combine).lower(),
+        embedding_type=str(cf.embedding_type).lower(),
+        init_scale=float(cf.init_scale),
+        fourier_scale=float(cf.fourier_scale),
+        n_cls=int(cf.n_cls),
+    )
+    return kwargs
