@@ -1,0 +1,86 @@
+"""Benchmark: CIFAR-10 img/sec/chip at 1000-NFE Euler--Maruyama sampling.
+
+Runs the flagship SOTA CIFAR-10 PSLD configuration (NCSN++ nf=128,
+ch_mult=[2,2,2], 8 resblocks, FIR, Fourier embeddings, progressive_input=
+residual -- 97.6M params; scripts_psld/sota/uncond/cifar10/*.sh) through the
+full compiled EM sampler (single lax.scan, 1000 network evaluations) and
+reports throughput on one chip.
+
+Baseline for `vs_baseline`: the reference publishes no throughput numbers
+(BASELINE.md), so we use an explicit estimate of its 1000-NFE EM throughput
+on one V100: ~0.25 img/s (97M-param NCSN++ at batch 16, ~16 ms/fwd => 16 s
+per 16-image batch x 1000 steps). vs_baseline = value / 0.25; the driver
+north-star (>= 5x reference) corresponds to vs_baseline >= 5.
+"""
+
+import json
+import time
+
+REF_GPU_IMG_PER_SEC = 0.25
+BATCH = 64
+NFE = 1000
+
+
+def main():
+    import psld_tpu
+
+    psld_tpu.enable_x64()
+    psld_tpu.setup_cache()
+    psld_tpu.import_modules_into_registry()
+
+    import jax
+    import jax.numpy as jnp
+
+    from psld_tpu.config import compose
+    from psld_tpu.registry import get_module
+    from psld_tpu.samplers import make_timesteps
+    from psld_tpu.train.loop import build_score_model, build_sde
+
+    cfg = compose([
+        "+dataset=cifar10/cifar10_psld",
+        "dataset.diffusion.data.root='/tmp'",
+        "dataset.diffusion.model.score_fn.ch_mult=[2,2,2]",
+        "dataset.diffusion.model.score_fn.num_res_blocks=8",
+        "dataset.diffusion.model.score_fn.attn_resolutions=[16]",
+        "dataset.diffusion.model.score_fn.dropout=0.15",
+        "dataset.diffusion.model.score_fn.progressive_input='residual'",
+        "dataset.diffusion.model.score_fn.fir=True",
+        "dataset.diffusion.model.score_fn.embedding_type='fourier'",
+        "dataset.diffusion.model.sde.nu=4.02",
+        "dataset.diffusion.model.sde.gamma=0.02",
+    ]).dataset.diffusion
+
+    sde = build_sde(cfg)
+    net = build_score_model(cfg)
+    x0 = jnp.zeros((BATCH, 32, 32, 6), jnp.float32)
+    t0 = jnp.full((BATCH,), 0.5, jnp.float32)
+    params = jax.jit(net.init)(jax.random.PRNGKey(0), x0, t0)
+
+    def score_fn(z, t):
+        return net.apply(params, z, t)
+
+    sampler = get_module("samplers", "em_sde")(cfg, sde, score_fn)
+    n_eff = NFE - 1  # denoise consumes one step (reference wrapper.py:51-54)
+    ts = make_timesteps(n_eff, 1e-3)
+    sample = jax.jit(
+        lambda k, z: sampler.sample(k, z, ts, n_eff, denoise=True, eps=1e-3)
+    )
+
+    z = sde.prior_sampling(jax.random.PRNGKey(1), (BATCH, 32, 32, 3))
+    # compile + warmup
+    sample(jax.random.PRNGKey(2), z).block_until_ready()
+    t_start = time.time()
+    sample(jax.random.PRNGKey(3), z).block_until_ready()
+    elapsed = time.time() - t_start
+
+    value = BATCH / elapsed
+    print(json.dumps({
+        "metric": "CIFAR-10 img/sec/chip at 1000-NFE EM sampling",
+        "value": round(value, 4),
+        "unit": "img/s",
+        "vs_baseline": round(value / REF_GPU_IMG_PER_SEC, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

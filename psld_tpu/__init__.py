@@ -35,6 +35,18 @@ def enable_x64() -> None:
     jax.config.update("jax_enable_x64", True)
 
 
+def setup_cache(path: str = "/root/.cache/jax_comp") -> None:
+    """Enable the persistent XLA compilation cache (entry points call this;
+    first-compile of the 100M-param nets is ~30s+, cached afterwards)."""
+    import jax
+
+    try:
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # older jax without the knobs
+        pass
+
+
 def import_modules_into_registry() -> None:
     """Import all component packages so their ``@register_module`` decorators
     populate the registry (reference parity: main/util.py:116-121)."""

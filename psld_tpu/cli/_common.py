@@ -1,0 +1,21 @@
+"""Shared CLI bootstrap: x64, compile cache, registry, logging, config."""
+
+from __future__ import annotations
+
+import logging
+import sys
+
+
+def bootstrap(argv=None):
+    import psld_tpu
+
+    psld_tpu.enable_x64()
+    psld_tpu.setup_cache()
+    psld_tpu.import_modules_into_registry()
+    logging.basicConfig(
+        level=logging.INFO,
+        format="%(asctime)s %(name)s %(levelname)s: %(message)s",
+    )
+    from psld_tpu.config import compose
+
+    return compose(sys.argv[1:] if argv is None else list(argv))

@@ -1,0 +1,14 @@
+"""Inpainting entry point (reference main/eval/inpaint.py)."""
+
+from psld_tpu.cli._common import bootstrap
+
+
+def main(argv=None):
+    cfg = bootstrap(argv)
+    from psld_tpu.eval.generate import inpaint
+
+    return inpaint(cfg.dataset.diffusion)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,14 @@
+"""Unconditional sampling entry point (reference main/eval/sample.py)."""
+
+from psld_tpu.cli._common import bootstrap
+
+
+def main(argv=None):
+    cfg = bootstrap(argv)
+    from psld_tpu.eval.generate import sample
+
+    return sample(cfg.dataset.diffusion)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,196 @@
+"""Sampling / guided-sampling / inpainting drivers
+(reference main/eval/{sample,class_cond_sample,inpaint}.py).
+
+One jitted sampler program per run; the sample count is fanned out in
+batches of ``batch_size * n_devices`` with the batch axis sharded over the
+mesh. Per-batch RNG diversity comes from ``fold_in(seed, batch_idx)``
+(replacing the reference's per-rank reseeding, wrapper.py:93-99).
+"""
+
+from __future__ import annotations
+
+import logging
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from psld_tpu.data.datasets import InpaintDataset, SDELatentDataset
+from psld_tpu.data.loader import get_dataset
+from psld_tpu.eval.writers import InpaintingImageWriter, SimpleImageWriter
+from psld_tpu.parallel.mesh import make_mesh, shard_batch
+from psld_tpu.registry import get_module
+from psld_tpu.samplers.base import make_timesteps
+from psld_tpu.train import checkpoint as ckpt
+from psld_tpu.train.loop import build_score_model, build_sde, init_score_params
+from psld_tpu.train.state import init_state, make_optimizer
+
+logger = logging.getLogger(__name__)
+
+
+def load_eval_state(config, net=None):
+    """Restore a TrainState from evaluation.chkpt_path and pick the EMA or
+    online params per ``evaluation.sample_from`` (reference eval/sample.py:38-69)."""
+    net = net or build_score_model(config)
+    params = init_score_params(net, config, int(config.evaluation.seed))
+    optimizer = make_optimizer(config.training.optimizer)
+    abstract = init_state(params, optimizer)
+    state = ckpt.restore_checkpoint(str(config.evaluation.chkpt_path),
+                                    abstract)
+    use_ema = str(config.evaluation.sample_from) == "target"
+    return net, (state.ema_params if use_ema else state.params)
+
+
+def make_score_fn(net, params):
+    return lambda z, t: net.apply(params, z, t)
+
+
+def _run_sampler(config, sde, sampler, writer, batch_source,
+                 write_extra_batch: bool = False):
+    ecfg = config.evaluation
+    denoise = bool(ecfg.denoise)
+    n_steps = int(ecfg.n_discrete_steps)
+    n_eff = n_steps - 1 if denoise else n_steps  # reference wrapper.py:51-54
+    ts = make_timesteps(n_eff, float(ecfg.eval_eps), sde.T,
+                        str(ecfg.stride_type))
+
+    mesh = make_mesh()
+    per_step = int(ecfg.batch_size) * mesh.devices.size
+    n_samples = int(ecfg.n_samples)
+    seed = int(ecfg.seed)
+    key = jax.random.PRNGKey(seed)
+
+    sampler_name = str(ecfg.sampler.name)
+    is_host_loop = sampler_name == "bb_ode"
+    if not is_host_loop:
+        sample_jit = jax.jit(
+            lambda k, b: sampler.sample(k, b, ts, n_eff, denoise=denoise,
+                                        eps=float(ecfg.eval_eps))
+        )
+
+    written = 0
+    batch_idx = 0
+    while written < n_samples:
+        bs = min(per_step, n_samples - written)
+        k_batch = jax.random.fold_in(key, batch_idx)
+        batch = batch_source(k_batch, bs, batch_idx)
+        if not is_host_loop and bs == per_step:
+            batch = shard_batch(batch, mesh)
+        if is_host_loop:
+            out = sampler.sample(k_batch, batch, ts, n_eff, denoise=denoise,
+                                 eps=float(ecfg.eval_eps))
+        else:
+            out = sample_jit(k_batch, batch)
+        out_np = np.asarray(out)
+        if write_extra_batch:
+            writer.write_batch(out_np, rank=0, batch_idx=batch_idx,
+                               batch=tuple(np.asarray(b) for b in batch))
+        else:
+            writer.write_batch(out_np, rank=0, batch_idx=batch_idx)
+        written += bs
+        batch_idx += 1
+        if batch_idx % 10 == 0:
+            logger.info("sampled %d / %d", written, n_samples)
+    if is_host_loop:
+        logger.info("bb_ode mean NFE: %.1f", sampler.mean_nfe)
+    return written
+
+
+def sample(config):
+    """Unconditional generation (reference eval/sample.py:28-109)."""
+    sde = build_sde(config)
+    net, params = load_eval_state(config)
+    sampler_cls = get_module("samplers", str(config.evaluation.sampler.name))
+    sampler = sampler_cls(config, sde, make_score_fn(net, params))
+    writer = SimpleImageWriter(
+        str(config.evaluation.save_path),
+        sample_prefix=str(config.evaluation.sample_prefix),
+        path_prefix=str(config.evaluation.path_prefix),
+        save_mode=str(config.evaluation.save_mode),
+        is_norm=bool(config.data.norm),
+        is_augmented=bool(config.model.sde.get("is_augmented", True)),
+    )
+    latent = SDELatentDataset(sde, config)
+
+    def batch_source(key, bs, batch_idx):
+        return latent.sample_batch(key, bs)
+
+    return _run_sampler(config, sde, sampler, writer, batch_source)
+
+
+def class_cond_sample(config):
+    """Classifier-guided generation
+    (reference eval/class_cond_sample.py:28-121). ``config`` carries both
+    the ``diffusion`` and ``clf`` trees."""
+    dcfg = config.diffusion
+    sde = build_sde(dcfg)
+    net, params = load_eval_state(dcfg)
+
+    clf_cls = get_module("clf_fn", config.clf.model.clf_fn.name)
+    clf_net = clf_cls.from_config(config.clf)
+    size = int(config.clf.data.image_size)
+    in_ch = int(config.clf.model.clf_fn.in_ch)
+    clf_params_init = jax.jit(clf_net.init)(
+        jax.random.PRNGKey(0), jnp.zeros((2, size, size, in_ch), jnp.float32),
+        jnp.full((2,), 0.5, jnp.float32))
+    clf_opt = make_optimizer(config.clf.training.optimizer)
+    clf_abstract = init_state(clf_params_init, clf_opt)
+    clf_state = ckpt.restore_checkpoint(
+        str(config.clf.evaluation.chkpt_path), clf_abstract)
+
+    merged = _merged_eval_config(config)
+    sampler_cls = get_module("samplers", str(dcfg.evaluation.sampler.name))
+    sampler = sampler_cls(merged, sde, make_score_fn(net, params),
+                          clf_fn=make_score_fn(clf_net, clf_state.params))
+    writer = SimpleImageWriter(
+        str(dcfg.evaluation.save_path),
+        sample_prefix=str(dcfg.evaluation.sample_prefix),
+        path_prefix=str(dcfg.evaluation.path_prefix),
+        save_mode=str(dcfg.evaluation.save_mode),
+        is_norm=bool(dcfg.data.norm),
+        is_augmented=True,
+    )
+    latent = SDELatentDataset(sde, dcfg)
+
+    def batch_source(key, bs, batch_idx):
+        return latent.sample_batch(key, bs)
+
+    return _run_sampler(dcfg, sde, sampler, writer, batch_source)
+
+
+def _merged_eval_config(config):
+    """The guided sampler reads config.clf.evaluation.* and the diffusion
+    evaluation tree (reference samplers/sde.py:70-71)."""
+    from psld_tpu.config import ConfigDict
+
+    merged = ConfigDict(config.diffusion.to_dict())
+    merged["clf"] = ConfigDict(config.clf.to_dict())
+    return merged
+
+
+def inpaint(config):
+    """MNIST-mask inpainting (reference eval/inpaint.py:29-104)."""
+    sde = build_sde(config)
+    net, params = load_eval_state(config)
+    sampler_cls = get_module("samplers", "ip_em_sde")
+    sampler = sampler_cls(config, sde, make_score_fn(net, params))
+    writer = InpaintingImageWriter(
+        str(config.evaluation.save_path),
+        sample_prefix=str(config.evaluation.sample_prefix),
+        path_prefix=str(config.evaluation.path_prefix),
+        save_mode=str(config.evaluation.save_mode),
+        is_norm=bool(config.data.norm),
+        is_augmented=True,
+        save_batch=True,
+    )
+    base = get_dataset(config)
+    dataset = InpaintDataset(config, base)
+
+    def batch_source(key, bs, batch_idx):
+        start = batch_idx * bs
+        idxs = np.arange(start, start + bs) % len(dataset)
+        imgs, masks = dataset.batch(idxs)
+        return jnp.asarray(imgs), jnp.asarray(masks)
+
+    return _run_sampler(config, sde, sampler, writer, batch_source,
+                        write_extra_batch=True)

@@ -1,1 +1,5 @@
-"""Loss functions (populated in the losses milestone)."""
+from psld_tpu.losses.score import (  # noqa: F401
+    PSLDScoreLoss,
+    PSLDTimeCELoss,
+    ScoreLoss,
+)

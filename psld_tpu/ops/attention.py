@@ -1,0 +1,75 @@
+"""Fused full-spatial attention kernel (Pallas, TPU).
+
+NCSN++'s only attention is single-head over H*W <= 16*16 = 256 tokens
+(reference layerspp.py:62-91; SURVEY.md section 5: no sequence sharding
+needed -- the whole score matrix fits in VMEM). This kernel fuses
+QK^T -> softmax -> V into one VMEM-resident program per batch element,
+never materializing the (B, N, N) attention matrix in HBM.
+
+Numerically stable softmax; f32 accumulation on the MXU. The jnp fallback
+(`attention_reference`) mirrors the reference einsum chain and serves CPU
+tests and unfriendly shapes.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def attention_reference(q, k, v, scale):
+    """(B, N, C) einsum attention (reference layerspp.py:82-86)."""
+    w = jnp.einsum("bqc,bkc->bqk", q, k,
+                   preferred_element_type=jnp.float32) * scale
+    w = jax.nn.softmax(w, axis=-1)
+    return jnp.einsum("bqk,bkc->bqc", w, v,
+                      preferred_element_type=jnp.float32).astype(q.dtype)
+
+
+def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float):
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    w = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * scale
+    w = w - jnp.max(w, axis=-1, keepdims=True)
+    w = jnp.exp(w)
+    w = w / jnp.sum(w, axis=-1, keepdims=True)
+    o = jnp.dot(w, v.astype(jnp.float32),
+                preferred_element_type=jnp.float32)
+    o_ref[0] = o.astype(o_ref.dtype)
+
+
+def _pallas_ok(n: int, c: int, dtype) -> bool:
+    # one batch slice must fit comfortably in VMEM: q,k,v,o (N,C) + (N,N)
+    bytes_needed = (4 * n * c + n * n) * 4
+    return (
+        n % 8 == 0 and c % 128 == 0 and bytes_needed < 8 * 1024 * 1024
+    )
+
+
+@partial(jax.jit, static_argnames=("scale", "force"))
+def fused_attention(q, k, v, scale: float, force: bool | None = None):
+    """(B, N, C) -> (B, N, C); Pallas on TPU for friendly shapes, einsum
+    fallback otherwise. ``force=True/False`` overrides dispatch (tests)."""
+    b, n, c = q.shape
+    use = force if force is not None else (
+        jax.default_backend() == "tpu" and _pallas_ok(n, c, q.dtype)
+    )
+    if not use:
+        return attention_reference(q, k, v, scale)
+    spec = pl.BlockSpec((1, n, c), lambda i: (i, 0, 0),
+                        memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        partial(_attn_kernel, scale=scale),
+        out_shape=jax.ShapeDtypeStruct((b, n, c), q.dtype),
+        grid=(b,),
+        in_specs=[spec, spec, spec],
+        out_specs=spec,
+    )(q, k, v)

@@ -1,0 +1,54 @@
+"""Sampler abstractions (reference main/samplers/base.py:4-31).
+
+TPU-native contract: ``sample(key, batch, ts, n_steps, denoise, eps)`` is a
+pure jittable function -- the reverse-time loop is a single ``lax.scan`` so
+the whole trajectory compiles to one XLA program with zero host sync per step
+(the reference loops in Python, samplers/sde.py:43-57). ``score_fn`` is a
+``(z, t) -> eps_pred`` closure (typically EMA params bound to net.apply).
+"""
+
+from __future__ import annotations
+
+import abc
+
+import jax
+import jax.numpy as jnp
+
+from psld_tpu.utils.numerics import time_dtype
+
+
+def make_timesteps(n_steps: int, eval_eps: float, t_max: float = 1.0,
+                   stride_type: str = "uniform") -> jax.Array:
+    """ts grid of length ``n_steps + 1`` (reference wrapper.py:101-114)."""
+    t_final = t_max - eval_eps
+    ts = jnp.linspace(0.0, t_final, n_steps + 1, dtype=time_dtype())
+    if stride_type == "uniform":
+        return ts
+    if stride_type == "quadratic":
+        return t_final * jnp.flip(1.0 - (ts / t_final) ** 2)
+    raise ValueError(f"Unknown stride type: {stride_type}")
+
+
+class Sampler(abc.ABC):
+    def __init__(self, config, sde, score_fn, corrector_fn=None):
+        self.config = config
+        self.sde = sde
+        self.score_fn = score_fn
+        self.corrector_fn = corrector_fn
+
+    @property
+    def n_steps(self) -> int:
+        return int(self.config.evaluation.n_discrete_steps)
+
+    def corrector_update_fn(self, x, t, dt):
+        if self.corrector_fn is not None:
+            return self.corrector_fn(x, t, dt)
+        return x, x
+
+    def _tvec(self, t, batch: int):
+        return jnp.full((batch,), t, dtype=time_dtype())
+
+    @abc.abstractmethod
+    def sample(self, key, batch, ts, n_discrete_steps, denoise=True,
+               eps=1e-3):
+        ...

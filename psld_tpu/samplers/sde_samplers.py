@@ -1,0 +1,258 @@
+"""Reverse-SDE samplers: Euler--Maruyama, classifier-guided EM, inpainting
+EM, and SSCS symmetric splitting (reference main/samplers/sde.py).
+
+Every sampler's loop is a single ``lax.scan``; randomness threads an explicit
+PRNG key through the carry. Per-device sample diversity comes from folding
+the device/batch index into the key at the call site (replacing the
+reference's per-rank ``seed_everything(seed + global_rank)``,
+wrapper.py:93-99).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from psld_tpu.registry import register_module
+from psld_tpu.samplers.base import Sampler
+from psld_tpu.sde.psld import join_xm, split_xm
+from psld_tpu.utils.numerics import bcast_right
+
+
+def _em_update(sde, score_fn, x, t, dt, key, denoise_only=False):
+    """One Euler--Maruyama predictor step (reference samplers/sde.py:16-26).
+
+    ``t``/``dt`` are scalars in the time dtype; tensors stay in x.dtype.
+    """
+    tv = jnp.broadcast_to(jnp.asarray(t), (x.shape[0],))
+    f, g = sde.reverse_sde(x, tv, score_fn)
+    dt_c = jnp.asarray(dt).astype(x.dtype)
+    x_mean = x + f * dt_c
+    if denoise_only:
+        return x_mean, x_mean
+    noise = jax.random.normal(key, x.shape, x.dtype)
+    x_new = x_mean + g * jnp.sqrt(dt_c) * noise
+    return x_new, x_mean
+
+
+@register_module(category="samplers", name="em_sde")
+class EulerMaruyamaSampler(Sampler):
+    """(reference samplers/sde.py:9-58)"""
+
+    def predictor_update_fn(self, x, t, dt, key):
+        return _em_update(self.sde, self.score_fn, x, t, dt, key)
+
+    def denoising_fn(self, x, t, dt):
+        return _em_update(self.sde, self.score_fn, x, t, dt, None,
+                          denoise_only=True)[0]
+
+    def sample(self, key, batch, ts, n_discrete_steps, denoise=True,
+               eps=1e-3):
+        del n_discrete_steps  # static: len(ts) - 1
+        x = batch
+
+        def body(carry, inp):
+            x, key = carry
+            t, t_next = inp
+            key, sub = jax.random.split(key)
+            x, _ = self.predictor_update_fn(x, t, t_next - t, sub)
+            x, _ = self.corrector_update_fn(x, t, t_next - t)
+            return (x, key), None
+
+        (x, key), _ = jax.lax.scan(body, (x, key), (ts[:-1], ts[1:]))
+        if denoise:
+            x = self.denoising_fn(x, jnp.asarray(self.sde.T - eps, ts.dtype),
+                                  jnp.asarray(eps, ts.dtype))
+        return x
+
+
+@register_module(category="samplers", name="cc_em_sde")
+class ClassCondEulerMaruyamaSampler(Sampler):
+    """EM with classifier guidance (reference samplers/sde.py:61-122).
+
+    The guidance gradient is ``jax.grad`` of the selected log-softmax w.r.t.
+    the full phase-space state -- no inference_mode/requires_grad dance.
+    """
+
+    def __init__(self, config, sde, score_fn, clf_fn, corrector_fn=None):
+        super().__init__(config, sde, score_fn, corrector_fn=corrector_fn)
+        self.clf_fn = clf_fn
+        self.y = int(config.clf.evaluation.label_to_sample)
+        self.clf_temp = float(config.clf.evaluation.clf_temp)
+
+    def _guidance(self, x, t_phys):
+        def selected_logp(x_in):
+            tv = jnp.full((x_in.shape[0],), t_phys).astype(jnp.float32)
+            logits = self.clf_fn(x_in.astype(jnp.float32), tv)
+            return jnp.sum(jax.nn.log_softmax(logits, axis=-1)[:, self.y])
+
+        return jax.grad(selected_logp)(x) * self.clf_temp
+
+    def predictor_update_fn(self, x, t, dt, key):
+        tv = jnp.full((x.shape[0],), t, dtype=t.dtype)
+        f, g = self.sde.reverse_sde(x, tv, self.score_fn)
+        grad = self._guidance(x, self.sde.T - t).astype(x.dtype)
+        f = f + g * g * grad
+        dt_c = jnp.asarray(dt).astype(x.dtype)
+        x_mean = x + f * dt_c
+        if key is None:
+            return x_mean, x_mean
+        noise = jax.random.normal(key, x.shape, x.dtype)
+        return x_mean + g * jnp.sqrt(dt_c) * noise, x_mean
+
+    def sample(self, key, batch, ts, n_discrete_steps, denoise=True,
+               eps=1e-3):
+        del n_discrete_steps
+        x = batch
+
+        def body(carry, inp):
+            x, key = carry
+            t, t_next = inp
+            key, sub = jax.random.split(key)
+            x, _ = self.predictor_update_fn(x, t, t_next - t, sub)
+            x, _ = self.corrector_update_fn(x, t, t_next - t)
+            return (x, key), None
+
+        (x, key), _ = jax.lax.scan(body, (x, key), (ts[:-1], ts[1:]))
+        if denoise:
+            # final step keeps the mean (reference sde.py:116-121)
+            _, x = self.predictor_update_fn(
+                x, jnp.asarray(self.sde.T - eps, ts.dtype),
+                jnp.asarray(eps, ts.dtype), None)
+        return x
+
+
+@register_module(category="samplers", name="ip_em_sde")
+class EulerMaruyamaInpainter(Sampler):
+    """RePaint-style phase-space inpainting (reference samplers/sde.py:125-224):
+    each EM step overwrites the known region (both x and m channels) with the
+    forward-diffused known image."""
+
+    def _perturb(self, x_0, t, key):
+        """Forward-diffuse the known image to time t (sde.py:134-149)."""
+        k_m, k_eps = jax.random.split(key)
+        if self.config.training.mode == "hsm":
+            m_0 = jnp.zeros_like(x_0)
+            mm_0 = self.sde.mm_0
+        else:
+            m_0 = float(np.sqrt(self.sde.mm_0)) * jax.random.normal(
+                k_m, x_0.shape, x_0.dtype)
+            mm_0 = 0.0
+        eps = jax.random.normal(
+            k_eps, x_0.shape[:-1] + (2 * x_0.shape[-1],), x_0.dtype)
+        z_t, mu_t, _ = self.sde.perturb_data(x_0, m_0, 0.0, mm_0, t, eps)
+        return z_t, mu_t
+
+    def _stitch(self, z, z_known, mask):
+        x_c, m_c = split_xm(z)
+        x_k, m_k = split_xm(z_known)
+        x_c = x_c * (1 - mask) + x_k * mask
+        m_c = m_c * (1 - mask) + m_k * mask
+        return join_xm(x_c, m_c)
+
+    def inpaint_update_fn(self, x, t, dt, mask, x_0, key, denoise=False):
+        k_step, k_perturb = jax.random.split(key)
+        x_new, x_mean = _em_update(self.sde, self.score_fn, x, t, dt, k_step,
+                                   denoise_only=denoise)
+        tv = jnp.full((x.shape[0],), self.sde.T - t, dtype=t.dtype)
+        u_k, mu_k = self._perturb(x_0, tv, k_perturb)
+        x_new = self._stitch(x_new, u_k, mask)
+        x_mean = self._stitch(x_mean, mu_k, mask)
+        return x_new, x_mean
+
+    def sample(self, key, batch, ts, n_discrete_steps, denoise=True,
+               eps=1e-3):
+        del n_discrete_steps
+        x_0, mask = batch
+        key, k_prior, k_init = jax.random.split(key, 3)
+
+        # initial latent: prior with the known region stitched in at t = T
+        x = self.sde.prior_sampling(k_prior, x_0.shape, x_0.dtype)
+        tv = jnp.full((x_0.shape[0],), self.sde.T, dtype=ts.dtype)
+        u_k, _ = self._perturb(x_0, tv, k_init)
+        x = self._stitch(x, u_k, mask)
+
+        def body(carry, inp):
+            x, key = carry
+            t, t_next = inp
+            key, sub = jax.random.split(key)
+            x, _ = self.inpaint_update_fn(x, t, t_next - t, mask, x_0, sub)
+            return (x, key), None
+
+        (x, key), _ = jax.lax.scan(body, (x, key), (ts[:-1], ts[1:]))
+        if denoise:
+            key, sub = jax.random.split(key)
+            _, x = self.inpaint_update_fn(
+                x, jnp.asarray(self.sde.T - eps, ts.dtype),
+                jnp.asarray(eps, ts.dtype), mask, x_0, sub, denoise=True)
+        return x
+
+
+@register_module(category="samplers", name="sscs_sde")
+class SSCSSampler(Sampler):
+    """Symmetric Splitting CLD Sampler for PSLD
+    (reference samplers/sde.py:227-370): analytical OU half-step ->
+    Euler score step -> analytical OU half-step, closed forms from
+    :meth:`psld_tpu.sde.psld.PSLD.sscs_transition`.
+    """
+
+    def analytical_dynamics(self, u, t, dt, key):
+        tv = jnp.full((u.shape[0],), t, dtype=t.dtype)
+        (m11, m12, m21, m22), var = self.sde.sscs_transition(tv, dt)
+        x, m = split_xm(u)
+        nd = x.ndim
+
+        def c(v):
+            return bcast_right(v, nd).astype(u.dtype)
+
+        mu = join_xm(c(m11) * x + c(m12) * m, c(m21) * x + c(m22) * m)
+        l11, l12, l21, l22 = self.sde.get_coeff(var)
+        eps = jax.random.normal(key, u.shape, u.dtype)
+        e_x, e_m = split_xm(eps)
+        noise = join_xm(c(l11) * e_x + c(l12) * e_m,
+                        c(l21) * e_x + c(l22) * e_m)
+        return mu + noise
+
+    def euler_score_dynamics(self, u, t, dt):
+        """(reference sde.py:314-329)"""
+        sde = self.sde
+        t_phys = sde.T - t
+        tv = jnp.full((u.shape[0],), t_phys, dtype=t.dtype)
+        beta = bcast_right(sde.beta_t(tv), u.ndim).astype(u.dtype)
+        x, m = split_xm(u)
+        eps_pred = self.score_fn(u.astype(jnp.float32), tv.astype(jnp.float32))
+        score = sde.get_score(eps_pred, 0.0, sde.mm_0, tv).astype(u.dtype)
+        score_x, score_m = split_xm(score)
+        dt_c = jnp.asarray(dt).astype(u.dtype)
+        x_bar = x + dt_c * sde.gamma * beta * (score_x + x)
+        m_bar = m + dt_c * sde.m * sde.nu * beta * (score_m + sde.m_inv * m)
+        return join_xm(x_bar, m_bar)
+
+    def predictor_update_fn(self, u, t, dt, key):
+        k1, k2 = jax.random.split(key)
+        u = self.analytical_dynamics(u, t, dt / 2, k1)
+        u = self.euler_score_dynamics(u, t, dt)
+        u = self.analytical_dynamics(u, t, dt / 2, k2)
+        return u
+
+    def sample(self, key, batch, ts, n_discrete_steps, denoise=True,
+               eps=1e-3):
+        del n_discrete_steps
+        x = batch
+
+        def body(carry, inp):
+            x, key = carry
+            t, t_next = inp
+            key, sub = jax.random.split(key)
+            x = self.predictor_update_fn(x, t, t_next - t, sub)
+            x, _ = self.corrector_update_fn(x, t, t_next - t)
+            return (x, key), None
+
+        (x, key), _ = jax.lax.scan(body, (x, key), (ts[:-1], ts[1:]))
+        if denoise:
+            x = _em_update(self.sde, self.score_fn, x,
+                           jnp.asarray(self.sde.T - eps, ts.dtype),
+                           jnp.asarray(eps, ts.dtype), None,
+                           denoise_only=True)[0]
+        return x

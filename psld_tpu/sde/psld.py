@@ -141,26 +141,54 @@ class PSLD(SDE):
         mu_m = bcast_right(e21, nd) * x_0 + bcast_right(e22, nd) * m_0
         return join_xm(mu_x, mu_m)
 
-    def _cov_from_s(self, xx_0, mm_0, s):
-        """Kernel covariance entries (xx, xm, mm) given s = b(t) (shape [B])."""
+    def _cov_inhom(self, s):
+        """Driven part of the kernel covariance: D I0 + S I1 + Q I2."""
         a, b, c = self._a, self._b, self._c
         dx, dm = self._dx, self._dm
+        i0, i1, i2 = ou_weight_integrals(2.0 * self._lam, s)
+        s_xx, s_xm, s_mm = 2.0 * a * dx, b * dm + c * dx, -2.0 * a * dm
+        q_xx = a * a * dx + b * b * dm
+        q_xm = a * c * dx - a * b * dm
+        q_mm = c * c * dx + a * a * dm
+        xx = dx * i0 + s_xx * i1 + q_xx * i2
+        xm = s_xm * i1 + q_xm * i2
+        mm = dm * i0 + s_mm * i1 + q_mm * i2
+        return xx, xm, mm
+
+    def _cov_from_s(self, xx_0, mm_0, s):
+        """Kernel covariance entries (xx, xm, mm) given s = b(t) (shape [B])."""
         # homogeneous part: E diag(xx_0, mm_0) E^T -- pure products, no
         # cancellation (cf. reference psld.py:121-147 expanded form)
         e11, e12, e21, e22 = self._exp_half_As(s)
         xx_h = e11 * e11 * xx_0 + e12 * e12 * mm_0
         xm_h = e11 * e21 * xx_0 + e12 * e22 * mm_0
         mm_h = e21 * e21 * xx_0 + e22 * e22 * mm_0
-        # inhomogeneous part: D I0 + S I1 + Q I2
-        i0, i1, i2 = ou_weight_integrals(2.0 * self._lam, s)
-        s_xx, s_xm, s_mm = 2.0 * a * dx, b * dm + c * dx, -2.0 * a * dm
-        q_xx = a * a * dx + b * b * dm
-        q_xm = a * c * dx - a * b * dm
-        q_mm = c * c * dx + a * a * dm
-        xx = xx_h + dx * i0 + s_xx * i1 + q_xx * i2
-        xm = xm_h + s_xm * i1 + q_xm * i2
-        mm = mm_h + dm * i0 + s_mm * i1 + q_mm * i2
-        return xx + self.eps, xm, mm + self.eps  # eps guard: reference psld.py:152
+        xx, xm, mm = self._cov_inhom(s)
+        # eps guard: reference psld.py:152
+        return xx_h + xx + self.eps, xm_h + xm, mm_h + mm + self.eps
+
+    def sscs_transition(self, t, dt):
+        """Mean map and covariance of the reverse-time *linear* sub-flow over
+        [t, t+dt] in sampler time (SSCS analytical half-step; reference
+        main/samplers/sde.py:236-292).
+
+        Subtracting the score-Euler sub-step's linear terms
+        (sde.py:314-329) from the reverse drift leaves
+        ``dz/dtau = 1/2 beta(T-tau) Abar z`` with ``Abar = [[-gamma, -1/M],
+        [1, -nu]]`` -- A with the skew part negated, same double eigenvalue.
+        Its nilpotent ``Nbar`` is N with off-diagonal signs flipped, so the
+        solution reuses the forward integrals with ``s = b(T-t) - b(T-(t+dt))
+        > 0`` and the xm entries negated. Verified against the reference's
+        expanded tables in tests/test_sde_psld.py.
+        """
+        s = self.b_t(self.T - t) - self.b_t(self.T - (t + dt))
+        decay = jnp.exp(-self._lam * s)
+        m11 = decay * (1.0 + self._a * s)
+        m12 = -decay * (self._b * s)
+        m21 = -decay * (self._c * s)
+        m22 = decay * (1.0 - self._a * s)
+        xx, xm, mm = self._cov_inhom(s)
+        return (m11, m12, m21, m22), (xx + self.eps, -xm, mm + self.eps)
 
     def _cov(self, xx_0, mm_0, t):
         return self._cov_from_s(xx_0, mm_0, self.b_t(t))

@@ -1,0 +1,171 @@
+"""Training and sampling drivers.
+
+These are the library-level equivalents of the reference entry points
+(train_sde.py, train_clf.py, eval/sample.py ...): build components from a
+config via the registry, run the epoch loop / sampling fan-out on a device
+mesh, checkpoint with orbax. The thin CLI wrappers live in psld_tpu.cli.
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from psld_tpu.data.loader import EpochLoader, get_dataset
+from psld_tpu.parallel.mesh import (
+    batch_sharding,
+    make_mesh,
+    replicate,
+    shard_batch,
+)
+from psld_tpu.registry import get_module
+from psld_tpu.train import checkpoint as ckpt
+from psld_tpu.train.state import init_state
+from psld_tpu.train.steps import make_clf_train_step, make_train_step
+
+logger = logging.getLogger(__name__)
+
+
+def build_score_model(config):
+    net_cls = get_module("score_fn", config.model.score_fn.name)
+    return net_cls.from_config(config)
+
+
+def build_sde(config):
+    sde_cls = get_module("sde", config.model.sde.name)
+    return sde_cls(config)
+
+
+def init_score_params(net, config, seed: int):
+    size = int(config.data.image_size)
+    in_ch = int(config.model.score_fn.in_ch)
+    x = jnp.zeros((2, size, size, in_ch), jnp.float32)
+    t = jnp.full((2,), 0.5, jnp.float32)
+    return jax.jit(net.init)(jax.random.PRNGKey(seed), x, t)
+
+
+def train_sde(config, max_steps: int | None = None):
+    """Unconditional score training (reference train_sde.py:21-120)."""
+    tcfg = config.training
+    seed = int(tcfg.seed)
+
+    dataset = get_dataset(config)
+    net = build_score_model(config)
+    sde = build_sde(config)
+    criterion = get_module("losses", tcfg.loss.name)(config, sde)
+
+    params = init_score_params(net, config, seed)
+    n_params = sum(int(np.prod(p.shape))
+                   for p in jax.tree_util.tree_leaves(params))
+    logger.info("score_fn: %.1fM params", n_params / 1e6)
+
+    step_fn, optimizer = make_train_step(net, sde, criterion, config)
+    state = init_state(params, optimizer)
+
+    mesh = make_mesh()
+    state = replicate(state, mesh)
+    b_sharding = batch_sharding(mesh)
+
+    start_epoch = 0
+    restore = str(tcfg.restore_path or "")
+    if restore:
+        state = ckpt.restore_checkpoint(restore, state)
+        state = replicate(state, mesh)
+        start_epoch = ckpt.epoch_from_path(restore)
+        logger.info("restored %s at epoch %d", restore, start_epoch)
+
+    n_devices = mesh.devices.size
+    global_bs = int(tcfg.batch_size) * n_devices
+    loader = EpochLoader(dataset, global_bs, shuffle=True, drop_last=True,
+                         hflip=bool(config.data.hflip), seed=seed)
+    rng = jax.random.PRNGKey(seed)
+    ckpt_dir = f"{tcfg.results_dir}/checkpoints"
+    log_step = int(tcfg.log_step)
+    total_steps = 0
+    last_loss = float("nan")
+
+    for epoch in range(start_epoch, int(tcfg.epochs)):
+        t_epoch = time.time()
+        for batch in loader:
+            batch = shard_batch(jnp.asarray(batch), mesh)
+            state, metrics = step_fn(state, batch, rng)
+            total_steps += 1
+            if total_steps % log_step == 0:
+                last_loss = float(metrics["loss"])
+            if max_steps is not None and total_steps >= max_steps:
+                break
+        logger.info("epoch %d: loss=%.4f (%.1fs)", epoch, last_loss,
+                    time.time() - t_epoch)
+        if (epoch + 1) % int(tcfg.chkpt_interval) == 0 or (
+                max_steps is not None and total_steps >= max_steps):
+            name = ckpt.checkpoint_name(sde.type, str(tcfg.chkpt_prefix),
+                                        epoch, last_loss)
+            path = ckpt.save_checkpoint(ckpt_dir, name, state)
+            logger.info("checkpoint: %s", path)
+        if max_steps is not None and total_steps >= max_steps:
+            break
+    return state
+
+
+def train_clf(config, max_steps: int | None = None):
+    """Noise-conditional classifier training (reference train_clf.py:22-109)."""
+    ccfg = config.clf
+    tcfg = ccfg.training
+    seed = int(tcfg.seed)
+
+    dataset = get_dataset(ccfg)
+    clf_cls = get_module("clf_fn", ccfg.model.clf_fn.name)
+    net = clf_cls.from_config(ccfg)
+    sde = build_sde(config.diffusion)
+    criterion = get_module("losses", tcfg.loss.name)(config, sde)
+
+    size = int(ccfg.data.image_size)
+    in_ch = int(ccfg.model.clf_fn.in_ch)
+    x = jnp.zeros((2, size, size, in_ch), jnp.float32)
+    params = jax.jit(net.init)(jax.random.PRNGKey(seed), x,
+                               jnp.full((2,), 0.5, jnp.float32))
+
+    step_fn, optimizer = make_clf_train_step(net, sde, criterion, config)
+    state = init_state(params, optimizer)
+
+    mesh = make_mesh()
+    state = replicate(state, mesh)
+
+    restore = str(tcfg.restore_path or "")
+    start_epoch = 0
+    if restore:
+        state = ckpt.restore_checkpoint(restore, state)
+        state = replicate(state, mesh)
+        start_epoch = ckpt.epoch_from_path(restore)
+
+    global_bs = int(tcfg.batch_size) * mesh.devices.size
+    loader = EpochLoader(dataset, global_bs, shuffle=True, drop_last=True,
+                         hflip=bool(ccfg.data.hflip), seed=seed)
+    rng = jax.random.PRNGKey(seed)
+    ckpt_dir = f"{tcfg.results_dir}/checkpoints"
+    total_steps = 0
+    last = {"loss": float("nan"), "top1": float("nan")}
+
+    for epoch in range(start_epoch, int(tcfg.epochs)):
+        for imgs, targets in loader:
+            x = shard_batch(jnp.asarray(imgs), mesh)
+            y = shard_batch(jnp.asarray(targets), mesh)
+            state, metrics = step_fn(state, x, y, rng)
+            total_steps += 1
+            last = {k: float(v) for k, v in metrics.items()}
+            if max_steps is not None and total_steps >= max_steps:
+                break
+        logger.info("epoch %d: loss=%.4f top1=%.3f", epoch, last["loss"],
+                    last["top1"])
+        if (epoch + 1) % int(tcfg.chkpt_interval) == 0 or (
+                max_steps is not None and total_steps >= max_steps):
+            name = ckpt.checkpoint_name("clf", str(tcfg.chkpt_prefix), epoch,
+                                        last["loss"])
+            ckpt.save_checkpoint(ckpt_dir, name, state)
+        if max_steps is not None and total_steps >= max_steps:
+            break
+    return state

@@ -1,0 +1,79 @@
+"""Train state and optimizer construction.
+
+Reference parity (main/models/wrapper.py:128-155): Adam with linear LR
+warmup stepped per-optimizer-step, global-norm gradient clipping
+(wrapper.py:82-85), and an on-device EMA of the score parameters
+(callbacks.py:17-63) folded into the same jitted update.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import flax.struct
+import jax
+import optax
+
+
+@flax.struct.dataclass
+class TrainState:
+    step: jax.Array
+    params: Any
+    ema_params: Any
+    opt_state: Any
+
+
+def make_optimizer(opt_config) -> optax.GradientTransformation:
+    """Adam + warmup + global-norm clip (reference wrapper.py:128-155)."""
+    if opt_config.name != "Adam":
+        raise NotImplementedError(f"Optimizer {opt_config.name} not supported")
+    warmup = int(opt_config.warmup)
+    lr = float(opt_config.lr)
+    if warmup > 0:
+        schedule = optax.join_schedules(
+            [optax.linear_schedule(0.0, lr, warmup),
+             optax.constant_schedule(lr)],
+            boundaries=[warmup],
+        )
+    else:
+        schedule = optax.constant_schedule(lr)
+    components = []
+    grad_clip = float(opt_config.get("grad_clip", 0) or 0)
+    if grad_clip != 0:
+        components.append(optax.clip_by_global_norm(grad_clip))
+    adam = optax.adamw(
+        schedule,
+        b1=float(opt_config.beta_1),
+        b2=float(opt_config.beta_2),
+        eps=float(opt_config.eps),
+        weight_decay=float(opt_config.weight_decay),
+    ) if float(opt_config.weight_decay) else optax.adam(
+        schedule,
+        b1=float(opt_config.beta_1),
+        b2=float(opt_config.beta_2),
+        eps=float(opt_config.eps),
+    )
+    components.append(adam)
+    return optax.chain(*components)
+
+
+def init_state(params, optimizer: optax.GradientTransformation) -> TrainState:
+    import jax.numpy as jnp
+
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        # a real copy: the EMA must not alias the online params (aliased
+        # leaves break buffer donation of the whole state)
+        ema_params=jax.tree_util.tree_map(jnp.copy, params),
+        opt_state=optimizer.init(params),
+    )
+
+
+def ema_update(ema_params, params, tau: float):
+    """targ = tau * targ + (1 - tau) * src (reference callbacks.py:62-63)."""
+    return jax.tree_util.tree_map(
+        lambda e, p: e * tau + p.astype(e.dtype) * (1.0 - tau),
+        ema_params,
+        params,
+    )

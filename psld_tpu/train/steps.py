@@ -1,0 +1,114 @@
+"""Jitted training steps.
+
+One compiled program per step does: sample t ~ U[train_eps, T] (float64
+per-batch scalars, reference wrapper.py:72-73) -> loss -> grad -> global-norm
+clip -> Adam(+warmup) -> EMA lerp, with buffers donated. Under a
+``jax.sharding.Mesh`` the batch is sharded on its leading axis and XLA
+inserts the gradient all-reduce over ICI (no DDP process boundary; cf.
+reference train_sde.py:114).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+from psld_tpu.train.state import TrainState, ema_update
+from psld_tpu.utils.numerics import time_dtype
+
+
+def sample_times(rng, batch: int, train_eps: float, t_max: float = 1.0):
+    """t ~ U[train_eps, T] in the time dtype (reference wrapper.py:72-73)."""
+    u = jax.random.uniform(rng, (batch,), time_dtype())
+    return u * (t_max - train_eps) + train_eps
+
+
+def make_train_step(net, sde, criterion, config,
+                    donate: bool = True) -> Callable:
+    """Build the jitted score-model train step.
+
+    Returns ``step(state, batch, rng) -> (state, metrics)``; ``batch`` is the
+    *global* batch (shard its leading axis for data parallelism).
+    """
+    train_eps = float(config.training.train_eps)
+    tau = float(config.training.ema_decay)
+    use_ema = bool(config.training.use_ema)
+    from psld_tpu.train.state import make_optimizer
+
+    optimizer = make_optimizer(config.training.optimizer)
+
+    def loss_fn(params, batch, t, rng):
+        def score_fn(z, tt):
+            return net.apply(params, z, tt, train=True,
+                             rngs={"dropout": rng})
+
+        return criterion(batch, t, score_fn, rng)
+
+    def step(state: TrainState, batch, rng):
+        k_t, k_loss = jax.random.split(jax.random.fold_in(rng, state.step))
+        t = sample_times(k_t, batch.shape[0], train_eps, sde.T)
+        loss, grads = jax.value_and_grad(loss_fn)(state.params, batch, t,
+                                                  k_loss)
+        updates, opt_state = optimizer.update(grads, state.opt_state,
+                                              state.params)
+        params = jax.tree_util.tree_map(
+            lambda p, u: p + u, state.params, updates
+        )
+        ema_params = (
+            ema_update(state.ema_params, params, tau)
+            if use_ema
+            else params
+        )
+        new_state = TrainState(step=state.step + 1, params=params,
+                               ema_params=ema_params, opt_state=opt_state)
+        metrics = {
+            "loss": loss,
+            "grad_norm": jnp.sqrt(
+                sum(jnp.sum(g.astype(jnp.float32) ** 2)
+                    for g in jax.tree_util.tree_leaves(grads))
+            ),
+        }
+        return new_state, metrics
+
+    donate_argnums = (0,) if donate else ()
+    return jax.jit(step, donate_argnums=donate_argnums), optimizer
+
+
+def make_clf_train_step(net, sde, criterion, config,
+                        donate: bool = True) -> Callable:
+    """Classifier train step (reference clf_wrapper.py:61-75): automatic
+    optimization, logs loss + top-1 accuracy."""
+    train_eps = float(config.clf.training.get("train_eps",
+                                              config.diffusion.training.train_eps))
+    from psld_tpu.train.state import make_optimizer
+
+    optimizer = make_optimizer(config.clf.training.optimizer)
+
+    def loss_fn(params, x, y, t, rng):
+        def clf_fn(z, tt):
+            return net.apply(params, z, tt, train=True,
+                             rngs={"dropout": rng})
+
+        return criterion(x, y, t, clf_fn, rng)
+
+    def step(state: TrainState, x, y, rng):
+        k_t, k_loss = jax.random.split(jax.random.fold_in(rng, state.step))
+        t = sample_times(k_t, x.shape[0], train_eps, sde.T)
+        (loss, acc), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, x, y, t, k_loss
+        )
+        updates, opt_state = optimizer.update(grads, state.opt_state,
+                                              state.params)
+        params = jax.tree_util.tree_map(
+            lambda p, u: p + u, state.params, updates
+        )
+        new_state = TrainState(step=state.step + 1, params=params,
+                               ema_params=state.ema_params,
+                               opt_state=opt_state)
+        return new_state, {"loss": loss, "top1": acc}
+
+    donate_argnums = (0,) if donate else ()
+    return jax.jit(step, donate_argnums=donate_argnums), optimizer

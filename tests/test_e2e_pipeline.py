@@ -1,0 +1,129 @@
+"""End-to-end smoke: train_sde CLI -> checkpoint -> sample CLI -> PNGs, on
+the 8-device CPU mesh with the synthetic dataset (BASELINE.json config #1
+scaled down)."""
+
+import glob
+import os
+
+import numpy as np
+import pytest
+
+import psld_tpu
+
+psld_tpu.import_modules_into_registry()
+
+TINY_OVERRIDES = [
+    "dataset.diffusion.data.name=synthetic",
+    "dataset.diffusion.data.image_size=16",
+    "dataset.diffusion.model.score_fn.nf=8",
+    "dataset.diffusion.model.score_fn.ch_mult=[1,2]",
+    "dataset.diffusion.model.score_fn.num_res_blocks=1",
+    "dataset.diffusion.model.score_fn.attn_resolutions=[8]",
+    "dataset.diffusion.training.batch_size=4",
+    "dataset.diffusion.training.epochs=1",
+    "dataset.diffusion.training.chkpt_interval=1",
+    "dataset.diffusion.evaluation.n_samples=8",
+    "dataset.diffusion.evaluation.batch_size=1",
+    "dataset.diffusion.evaluation.n_discrete_steps=5",
+]
+
+
+@pytest.fixture(scope="module")
+def workdir(tmp_path_factory):
+    return tmp_path_factory.mktemp("e2e")
+
+
+@pytest.fixture(scope="module")
+def trained(workdir):
+    from psld_tpu.cli.train_sde import main as train_main
+    from psld_tpu.config import compose
+    from psld_tpu.train.loop import train_sde
+
+    results = str(workdir / "results")
+    argv = [
+        "+dataset=cifar10/cifar10_psld",
+        f"dataset.diffusion.data.root={workdir}",
+        f"dataset.diffusion.training.results_dir={results}",
+    ] + TINY_OVERRIDES
+    cfg = compose(argv)
+    # cap steps for CI speed (the CLI itself runs full epochs)
+    train_sde(cfg.dataset.diffusion, max_steps=6)
+    ckpts = glob.glob(f"{results}/checkpoints/psld-*")
+    assert len(ckpts) == 1, ckpts
+    return results, ckpts[0], argv
+
+
+def test_train_writes_checkpoint(trained):
+    results, ckpt_path, _ = trained
+    assert "psld-score_xm" in os.path.basename(ckpt_path)
+    assert "epoch=0000" in ckpt_path
+
+
+def test_sample_from_checkpoint(trained, workdir):
+    from psld_tpu.eval.generate import sample
+    from psld_tpu.config import compose
+
+    results, ckpt_path, argv = trained
+    save = str(workdir / "samples")
+    cfg = compose(argv + [
+        f"dataset.diffusion.evaluation.chkpt_path={ckpt_path}",
+        f"dataset.diffusion.evaluation.save_path={save}",
+    ])
+    n = sample(cfg.dataset.diffusion)
+    assert n == 8
+    pngs = glob.glob(f"{save}/images/*.png")
+    assert len(pngs) == 8, pngs
+    from PIL import Image
+
+    img = np.asarray(Image.open(pngs[0]))
+    assert img.shape == (16, 16, 3)
+
+
+def test_sample_rk_ode(trained, workdir):
+    from psld_tpu.eval.generate import sample
+    from psld_tpu.config import compose
+
+    results, ckpt_path, argv = trained
+    save = str(workdir / "samples_ode")
+    cfg = compose(argv + [
+        f"dataset.diffusion.evaluation.chkpt_path={ckpt_path}",
+        f"dataset.diffusion.evaluation.save_path={save}",
+        "dataset.diffusion.evaluation.sampler.name=rk_ode",
+        "+dataset.diffusion.evaluation.sampler.solver=heun",
+        "dataset.diffusion.evaluation.n_samples=4",
+    ])
+    assert sample(cfg.dataset.diffusion) == 4
+    assert len(glob.glob(f"{save}/images/*.png")) == 4
+
+
+def test_inpaint_pipeline(trained, workdir):
+    from psld_tpu.eval.generate import inpaint
+    from psld_tpu.config import compose
+
+    results, ckpt_path, argv = trained
+    save = str(workdir / "inpaint")
+    cfg = compose(argv + [
+        f"dataset.diffusion.evaluation.chkpt_path={ckpt_path}",
+        f"dataset.diffusion.evaluation.save_path={save}",
+        "dataset.diffusion.evaluation.sampler.name=ip_em_sde",
+        "dataset.diffusion.evaluation.n_samples=4",
+        "dataset.diffusion.evaluation.batch_size=4",
+    ])
+    assert inpaint(cfg.dataset.diffusion) == 4
+    assert len(glob.glob(f"{save}/images/*.png")) == 4
+    assert len(glob.glob(f"{save}/batch/*.png")) == 4
+    assert len(glob.glob(f"{save}/corrupt/*.png")) == 4
+
+
+def test_checkpoint_resume(trained, workdir):
+    from psld_tpu.config import compose
+    from psld_tpu.train.loop import train_sde
+
+    results, ckpt_path, argv = trained
+    results2 = str(workdir / "results2")
+    cfg = compose(argv + [
+        f"dataset.diffusion.training.restore_path={ckpt_path}",
+    ])
+    cfg.dataset.diffusion.training.results_dir = results2
+    state = train_sde(cfg.dataset.diffusion, max_steps=2)
+    assert int(state.step) == 8  # 6 from first run + 2 resumed

@@ -1,0 +1,207 @@
+"""Sampler tests.
+
+The decisive check: with the *analytically exact* score of a Gaussian data
+distribution, every sampler must transport the prior back to the data
+distribution (moment match). For VP-SDE with x_0 ~ N(0, s0^2), the marginal
+is N(0, m_t^2 s0^2 + sigma_t^2) with an exact epsilon-prediction; same idea
+in phase space for PSLD via the HSM kernel.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from psld_tpu.config import ConfigDict
+from psld_tpu.samplers import make_timesteps
+from psld_tpu.samplers.sde_samplers import (
+    EulerMaruyamaInpainter,
+    EulerMaruyamaSampler,
+    SSCSSampler,
+)
+from psld_tpu.samplers.ode import BBODESampler, RKODESampler
+from psld_tpu.sde.psld import PSLD, split_xm
+from psld_tpu.sde.vpsde import VPSDE
+from psld_tpu.utils.numerics import bcast_right
+
+
+def eval_cfg(n_steps=100, sampler_extra=None):
+    sampler = {"name": "em_sde", "rtol": 1e-3, "atol": 1e-3}
+    sampler.update(sampler_extra or {})
+    return {"evaluation": {"n_discrete_steps": n_steps, "denoise": True,
+                           "eval_eps": 1e-3, "stride_type": "uniform",
+                           "sampler": sampler},
+            "training": {"mode": "hsm"}}
+
+
+def make_psld(nu=4.01, gamma=0.01, n_steps=100, **extra):
+    d = {"model": {"sde": {"beta_min": 8, "beta_max": 8, "nu": nu,
+                           "gamma": gamma, "kappa": 0.04,
+                           "decomp_mode": "lower", "numerical_eps": 1e-9,
+                           "n_timesteps": 1000}}}
+    d.update(eval_cfg(n_steps, **extra))
+    cfg = ConfigDict(d)
+    return cfg, PSLD(cfg)
+
+
+def make_vpsde(n_steps=100, **extra):
+    d = {"model": {"sde": {"beta_min": 0.1, "beta_max": 20,
+                           "n_timesteps": 1000}}}
+    d.update(eval_cfg(n_steps, **extra))
+    cfg = ConfigDict(d)
+    return cfg, VPSDE(cfg)
+
+
+def vpsde_exact_score_fn(sde, s0=1.0):
+    """Exact eps-prediction for x_0 ~ N(0, s0^2 I): the marginal is
+    N(0, m^2 s0^2 + sig^2); eps* = sig * x / (m^2 s0^2 + sig^2)."""
+
+    def score_fn(x, t_phys):
+        t64 = t_phys.astype(jnp.float64)
+        lm = -0.25 * t64**2 * (sde.beta_1 - sde.beta_0) - 0.5 * t64 * sde.beta_0
+        m = jnp.exp(lm)
+        sig2 = -jnp.expm1(2.0 * lm)
+        coef = jnp.sqrt(sig2) / (m * m * s0 * s0 + sig2)
+        return bcast_right(coef, x.ndim).astype(x.dtype) * x
+
+    return score_fn
+
+
+def psld_exact_score_fn(sde, s0=1.0):
+    """Exact eps-prediction for x_0 ~ N(0, s0^2), m_0 = 0 (HSM kernel with
+    xx_0 = s0^2, mm_0 = kappa M): z_t ~ N(0, Sigma_t); the model
+    parameterization is score = -L^{-T} eps with L from the *model* kernel
+    (xx_0=0, mm_0=kappa M), so eps* = -L_model^T Sigma_true^{-1} z.
+    """
+
+    def score_fn(z, t_phys):
+        t64 = t_phys.astype(jnp.float64)
+        xx, xm, mm = sde._cov(s0 * s0, sde.mm_0, t64)
+        det = xx * mm - xm * xm
+        # Sigma^{-1}
+        i11, i12, i22 = mm / det, -xm / det, xx / det
+        l11, _, l21, l22 = sde.get_coeff(sde._cov(0.0, sde.mm_0, t64))
+        x, m = split_xm(z)
+        nd = x.ndim
+
+        def c(v):
+            return bcast_right(v, nd).astype(z.dtype)
+
+        # s = -Sigma^{-1} z  (true score); eps* = -L^T s
+        s_x = -(c(i11) * x + c(i12) * m)
+        s_m = -(c(i12) * x + c(i22) * m)
+        eps_x = -(c(l11) * s_x + c(l21) * s_m)
+        eps_m = -(c(l22) * s_m)
+        return jnp.concatenate([eps_x, eps_m], axis=-1)
+
+    return score_fn
+
+
+N = 20_000
+
+
+def test_em_vpsde_recovers_gaussian():
+    cfg, sde = make_vpsde(n_steps=200)
+    s0 = 0.5
+    sampler = EulerMaruyamaSampler(cfg, sde, vpsde_exact_score_fn(sde, s0))
+    ts = make_timesteps(199, 1e-3)
+    x = sde.prior_sampling(jax.random.PRNGKey(0), (N, 1, 1, 1))
+    out = jax.jit(lambda k, x: sampler.sample(k, x, ts, 199))(
+        jax.random.PRNGKey(1), x)
+    out = np.asarray(out).ravel()
+    np.testing.assert_allclose(out.mean(), 0.0, atol=2e-2)
+    np.testing.assert_allclose(out.std(), s0, rtol=4e-2)
+
+
+def test_em_psld_recovers_gaussian():
+    cfg, sde = make_psld(n_steps=200)
+    s0 = 0.7
+    sampler = EulerMaruyamaSampler(cfg, sde, psld_exact_score_fn(sde, s0))
+    ts = make_timesteps(199, 1e-3)
+    z = sde.prior_sampling(jax.random.PRNGKey(0), (N, 1, 1, 1))
+    out = jax.jit(lambda k, z: sampler.sample(k, z, ts, 199))(
+        jax.random.PRNGKey(1), z)
+    x = np.asarray(out)[..., 0].ravel()
+    np.testing.assert_allclose(x.mean(), 0.0, atol=3e-2)
+    np.testing.assert_allclose(x.std(), s0, rtol=6e-2)
+
+
+def test_sscs_psld_recovers_gaussian():
+    cfg, sde = make_psld(n_steps=100, sampler_extra={"name": "sscs_sde"})
+    s0 = 0.7
+    sampler = SSCSSampler(cfg, sde, psld_exact_score_fn(sde, s0))
+    ts = make_timesteps(99, 1e-3)
+    z = sde.prior_sampling(jax.random.PRNGKey(0), (N, 1, 1, 1))
+    out = jax.jit(lambda k, z: sampler.sample(k, z, ts, 99))(
+        jax.random.PRNGKey(1), z)
+    x = np.asarray(out)[..., 0].ravel()
+    np.testing.assert_allclose(x.mean(), 0.0, atol=3e-2)
+    np.testing.assert_allclose(x.std(), s0, rtol=6e-2)
+
+
+def test_rk_ode_psld_recovers_gaussian():
+    cfg, sde = make_psld(n_steps=60, sampler_extra={"name": "rk_ode",
+                                                    "solver": "heun"})
+    s0 = 0.7
+    sampler = RKODESampler(cfg, sde, psld_exact_score_fn(sde, s0))
+    ts = make_timesteps(59, 1e-3)
+    z = sde.prior_sampling(jax.random.PRNGKey(0), (N, 1, 1, 1))
+    out = jax.jit(lambda k, z: sampler.sample(k, z, ts, 59))(
+        jax.random.PRNGKey(1), z)
+    x = np.asarray(out)[..., 0].ravel()
+    np.testing.assert_allclose(x.std(), s0, rtol=6e-2)
+
+
+def test_bb_ode_vpsde_and_nfe():
+    cfg, sde = make_vpsde(sampler_extra={"name": "bb_ode", "solver": "RK45",
+                                         "rtol": 1e-3, "atol": 1e-3})
+    s0 = 0.5
+    sampler = BBODESampler(cfg, sde, vpsde_exact_score_fn(sde, s0))
+    x = sde.prior_sampling(jax.random.PRNGKey(0), (2000, 1, 1, 1))
+    out = sampler.sample(None, x, None, None)
+    assert sampler.nfe > 10
+    assert sampler.mean_nfe == sampler.nfe
+    out = np.asarray(out).ravel()
+    np.testing.assert_allclose(out.std(), s0, rtol=6e-2)
+
+
+def test_inpaint_known_region_preserved():
+    cfg, sde = make_psld(n_steps=50)
+    s0 = 1.0
+    sampler = EulerMaruyamaInpainter(cfg, sde, psld_exact_score_fn(sde, s0))
+    ts = make_timesteps(49, 1e-3)
+    x0 = jnp.ones((8, 4, 4, 1), jnp.float32) * 0.5
+    mask = jnp.zeros((8, 4, 4, 1), jnp.float32).at[:, :2].set(1.0)
+    out = jax.jit(lambda k: sampler.sample(k, (x0, mask), ts, 49))(
+        jax.random.PRNGKey(2))
+    out_x = np.asarray(out)[..., 0:1]
+    # known region equals the ground truth (final stitch uses the t->0 kernel
+    # mean = x_0)
+    np.testing.assert_allclose(out_x[:, :2], np.asarray(x0)[:, :2], atol=1e-2)
+    # unknown region was actually generated (finite, not equal to x_0)
+    assert np.isfinite(out_x).all()
+
+
+def test_quadratic_stride():
+    ts = make_timesteps(10, 1e-3, stride_type="quadratic")
+    ts = np.asarray(ts)
+    assert ts.shape == (11,)
+    np.testing.assert_allclose(ts[-1], 1 - 1e-3, rtol=1e-9)
+    np.testing.assert_allclose(ts[0], 0.0, atol=1e-12)
+    # quadratic stride: steps grow toward t=0 end after flip => increasing dt?
+    dts = np.diff(ts)
+    assert (dts > 0).all()
+    assert dts[0] > dts[-1]  # large early steps, fine late steps
+
+
+def test_em_sampler_deterministic_given_key():
+    cfg, sde = make_psld(n_steps=10)
+    sampler = EulerMaruyamaSampler(cfg, sde, psld_exact_score_fn(sde))
+    ts = make_timesteps(9, 1e-3)
+    z = sde.prior_sampling(jax.random.PRNGKey(0), (4, 2, 2, 1))
+    f = jax.jit(lambda k, z: sampler.sample(k, z, ts, 9))
+    a = f(jax.random.PRNGKey(5), z)
+    b = f(jax.random.PRNGKey(5), z)
+    c = f(jax.random.PRNGKey(6), z)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert not np.allclose(np.asarray(a), np.asarray(c))

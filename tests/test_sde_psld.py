@@ -261,3 +261,26 @@ def test_get_score_reduced_modes():
     score = sde_x.get_score(eps3, 0.0, sde_x.mm_0, t)
     assert score.shape == (2, 4, 4, 6)
     assert np.asarray(score[..., 3:]).max() == 0.0
+
+
+@pytest.mark.parametrize("nu,gamma", [(4.01, 0.01), (4.0, 0.0), (1.0, 2.0)])
+def test_sscs_transition_matches_reference_oracle(nu, gamma):
+    """SSCS analytical half-step mean/cov vs the reference's expanded tables
+    (main/samplers/sde.py:236-292)."""
+    from oracles import PSLDOracle
+
+    sde = make_sde(nu=nu, gamma=gamma)
+    oracle = PSLDOracle(8.0, 8.0, nu, gamma, 0.04)
+    t_np = np.array([0.0, 0.1, 0.5, 0.9, 0.998])
+    dt = 1e-3
+    t = jnp.asarray(t_np, dtype=jnp.float64)
+    (m11, m12, m21, m22), (xx, xm, mm) = sde.sscs_transition(t, dt)
+    w11, w12, w21, w22 = oracle.sscs_mean_coeffs(t_np, dt)
+    np.testing.assert_allclose(np.asarray(m11), w11, rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(m12), w12, rtol=1e-10, atol=1e-15)
+    np.testing.assert_allclose(np.asarray(m21), w21, rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(m22), w22, rtol=1e-10)
+    oxx, oxm, omm = oracle.sscs_var(t_np, dt)
+    np.testing.assert_allclose(np.asarray(xx), oxx, rtol=1e-7, atol=1e-15)
+    np.testing.assert_allclose(np.asarray(xm), oxm, rtol=1e-6, atol=1e-15)
+    np.testing.assert_allclose(np.asarray(mm), omm, rtol=1e-7, atol=1e-15)
