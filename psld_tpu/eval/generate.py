@@ -45,8 +45,11 @@ def make_score_fn(net, params):
     return lambda z, t: net.apply(params, z, t)
 
 
-def _run_sampler(config, sde, sampler, writer, batch_source,
+def _run_sampler(config, sde, sampler_factory, params, writer, batch_source,
                  write_extra_batch: bool = False):
+    """``sampler_factory(params) -> Sampler``; params are threaded through
+    jit as arguments -- closing over 100M-param pytrees would embed them as
+    constants in the XLA program (and overflow remote-compile payloads)."""
     ecfg = config.evaluation
     denoise = bool(ecfg.denoise)
     n_steps = int(ecfg.n_discrete_steps)
@@ -59,14 +62,20 @@ def _run_sampler(config, sde, sampler, writer, batch_source,
     n_samples = int(ecfg.n_samples)
     seed = int(ecfg.seed)
     key = jax.random.PRNGKey(seed)
+    from psld_tpu.parallel.mesh import replicate
+
+    params = replicate(params, mesh)
 
     sampler_name = str(ecfg.sampler.name)
     is_host_loop = sampler_name == "bb_ode"
-    if not is_host_loop:
-        sample_jit = jax.jit(
-            lambda k, b: sampler.sample(k, b, ts, n_eff, denoise=denoise,
-                                        eps=float(ecfg.eval_eps))
-        )
+    if is_host_loop:
+        sampler = sampler_factory(params)
+    else:
+        def _run(params, k, b):
+            return sampler_factory(params).sample(
+                k, b, ts, n_eff, denoise=denoise, eps=float(ecfg.eval_eps))
+
+        sample_jit = jax.jit(_run)
 
     written = 0
     batch_idx = 0
@@ -80,7 +89,7 @@ def _run_sampler(config, sde, sampler, writer, batch_source,
             out = sampler.sample(k_batch, batch, ts, n_eff, denoise=denoise,
                                  eps=float(ecfg.eval_eps))
         else:
-            out = sample_jit(k_batch, batch)
+            out = sample_jit(params, k_batch, batch)
         out_np = np.asarray(out)
         if write_extra_batch:
             writer.write_batch(out_np, rank=0, batch_idx=batch_idx,
@@ -101,7 +110,10 @@ def sample(config):
     sde = build_sde(config)
     net, params = load_eval_state(config)
     sampler_cls = get_module("samplers", str(config.evaluation.sampler.name))
-    sampler = sampler_cls(config, sde, make_score_fn(net, params))
+
+    def sampler_factory(p):
+        return sampler_cls(config, sde, make_score_fn(net, p))
+
     writer = SimpleImageWriter(
         str(config.evaluation.save_path),
         sample_prefix=str(config.evaluation.sample_prefix),
@@ -115,7 +127,8 @@ def sample(config):
     def batch_source(key, bs, batch_idx):
         return latent.sample_batch(key, bs)
 
-    return _run_sampler(config, sde, sampler, writer, batch_source)
+    return _run_sampler(config, sde, sampler_factory, params, writer,
+                        batch_source)
 
 
 def class_cond_sample(config):
@@ -140,8 +153,12 @@ def class_cond_sample(config):
 
     merged = _merged_eval_config(config)
     sampler_cls = get_module("samplers", str(dcfg.evaluation.sampler.name))
-    sampler = sampler_cls(merged, sde, make_score_fn(net, params),
-                          clf_fn=make_score_fn(clf_net, clf_state.params))
+
+    def sampler_factory(both):
+        score_p, clf_p = both
+        return sampler_cls(merged, sde, make_score_fn(net, score_p),
+                           clf_fn=make_score_fn(clf_net, clf_p))
+
     writer = SimpleImageWriter(
         str(dcfg.evaluation.save_path),
         sample_prefix=str(dcfg.evaluation.sample_prefix),
@@ -155,7 +172,8 @@ def class_cond_sample(config):
     def batch_source(key, bs, batch_idx):
         return latent.sample_batch(key, bs)
 
-    return _run_sampler(dcfg, sde, sampler, writer, batch_source)
+    return _run_sampler(dcfg, sde, sampler_factory,
+                        (params, clf_state.params), writer, batch_source)
 
 
 def _merged_eval_config(config):
@@ -173,7 +191,10 @@ def inpaint(config):
     sde = build_sde(config)
     net, params = load_eval_state(config)
     sampler_cls = get_module("samplers", "ip_em_sde")
-    sampler = sampler_cls(config, sde, make_score_fn(net, params))
+
+    def sampler_factory(p):
+        return sampler_cls(config, sde, make_score_fn(net, p))
+
     writer = InpaintingImageWriter(
         str(config.evaluation.save_path),
         sample_prefix=str(config.evaluation.sample_prefix),
@@ -192,5 +213,5 @@ def inpaint(config):
         imgs, masks = dataset.batch(idxs)
         return jnp.asarray(imgs), jnp.asarray(masks)
 
-    return _run_sampler(config, sde, sampler, writer, batch_source,
-                        write_extra_batch=True)
+    return _run_sampler(config, sde, sampler_factory, params, writer,
+                        batch_source, write_extra_batch=True)

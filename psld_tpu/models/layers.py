@@ -164,11 +164,9 @@ class AttnBlock(nn.Module):
         q = q.reshape(b, h_dim * w_dim, c)
         k = k.reshape(b, h_dim * w_dim, c)
         v = v.reshape(b, h_dim * w_dim, c)
-        w = jnp.einsum("bqc,bkc->bqk", q, k,
-                       preferred_element_type=jnp.float32) * (int(c) ** -0.5)
-        w = jax.nn.softmax(w, axis=-1)
-        h = jnp.einsum("bqk,bkc->bqc", w, v,
-                       preferred_element_type=jnp.float32)
+        from psld_tpu.ops.attention import fused_attention
+
+        h = fused_attention(q, k, v, float(int(c) ** -0.5))
         h = h.reshape(b, h_dim, w_dim, c).astype(x.dtype)
         h = NIN(c, init_scale=self.init_scale)(h)
         if not self.skip_rescale:

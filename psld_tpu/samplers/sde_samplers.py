@@ -36,6 +36,22 @@ def _em_update(sde, score_fn, x, t, dt, key, denoise_only=False):
     return x_new, x_mean
 
 
+def _step_grid(sde, ts, denoise: bool, eps: float):
+    """(t, dt, noise_flag) triples; when denoising, the final mean-only step
+    (reference sde.py:52-57) is appended to the grid with its noise zeroed so
+    the whole trajectory is ONE scan with a single network-forward instance
+    in the compiled program (halves XLA compile time for 100M-param nets)."""
+    t_grid = ts[:-1]
+    dt_grid = ts[1:] - ts[:-1]
+    flags = jnp.ones_like(t_grid)
+    if denoise:
+        t_grid = jnp.concatenate(
+            [t_grid, jnp.asarray([sde.T - eps], ts.dtype)])
+        dt_grid = jnp.concatenate([dt_grid, jnp.asarray([eps], ts.dtype)])
+        flags = jnp.concatenate([flags, jnp.zeros((1,), ts.dtype)])
+    return t_grid, dt_grid, flags
+
+
 @register_module(category="samplers", name="em_sde")
 class EulerMaruyamaSampler(Sampler):
     """(reference samplers/sde.py:9-58)"""
@@ -51,19 +67,24 @@ class EulerMaruyamaSampler(Sampler):
                eps=1e-3):
         del n_discrete_steps  # static: len(ts) - 1
         x = batch
+        grid = _step_grid(self.sde, ts, denoise, eps)
 
         def body(carry, inp):
             x, key = carry
-            t, t_next = inp
+            t, dt, flag = inp
             key, sub = jax.random.split(key)
-            x, _ = self.predictor_update_fn(x, t, t_next - t, sub)
-            x, _ = self.corrector_update_fn(x, t, t_next - t)
+            tv = jnp.broadcast_to(t, (x.shape[0],))
+            f, g = self.sde.reverse_sde(x, tv, self.score_fn)
+            dt_c = jnp.asarray(dt).astype(x.dtype)
+            x_mean = x + f * dt_c
+            noise = jax.random.normal(sub, x.shape, x.dtype)
+            x = x_mean + flag.astype(x.dtype) * g * jnp.sqrt(dt_c) * noise
+            if self.corrector_fn is not None:
+                xc, _ = self.corrector_update_fn(x, t, dt)
+                x = jnp.where(flag > 0, xc, x)  # no corrector on denoise
             return (x, key), None
 
-        (x, key), _ = jax.lax.scan(body, (x, key), (ts[:-1], ts[1:]))
-        if denoise:
-            x = self.denoising_fn(x, jnp.asarray(self.sde.T - eps, ts.dtype),
-                                  jnp.asarray(eps, ts.dtype))
+        (x, key), _ = jax.lax.scan(body, (x, key), grid)
         return x
 
 
@@ -105,21 +126,25 @@ class ClassCondEulerMaruyamaSampler(Sampler):
                eps=1e-3):
         del n_discrete_steps
         x = batch
+        # final denoise = full guided predictor step keeping the mean
+        # (reference sde.py:116-121) -> same scan with noise flag zeroed
+        grid = _step_grid(self.sde, ts, denoise, eps)
 
         def body(carry, inp):
             x, key = carry
-            t, t_next = inp
+            t, dt, flag = inp
             key, sub = jax.random.split(key)
-            x, _ = self.predictor_update_fn(x, t, t_next - t, sub)
-            x, _ = self.corrector_update_fn(x, t, t_next - t)
+            tv = jnp.full((x.shape[0],), t, dtype=t.dtype)
+            f, g = self.sde.reverse_sde(x, tv, self.score_fn)
+            grad = self._guidance(x, self.sde.T - t).astype(x.dtype)
+            f = f + g * g * grad
+            dt_c = jnp.asarray(dt).astype(x.dtype)
+            x_mean = x + f * dt_c
+            noise = jax.random.normal(sub, x.shape, x.dtype)
+            x = x_mean + flag.astype(x.dtype) * g * jnp.sqrt(dt_c) * noise
             return (x, key), None
 
-        (x, key), _ = jax.lax.scan(body, (x, key), (ts[:-1], ts[1:]))
-        if denoise:
-            # final step keeps the mean (reference sde.py:116-121)
-            _, x = self.predictor_update_fn(
-                x, jnp.asarray(self.sde.T - eps, ts.dtype),
-                jnp.asarray(eps, ts.dtype), None)
+        (x, key), _ = jax.lax.scan(body, (x, key), grid)
         return x
 
 
@@ -172,20 +197,28 @@ class EulerMaruyamaInpainter(Sampler):
         tv = jnp.full((x_0.shape[0],), self.sde.T, dtype=ts.dtype)
         u_k, _ = self._perturb(x_0, tv, k_init)
         x = self._stitch(x, u_k, mask)
+        # denoise folded into the scan: the flag zeroes both the EM noise
+        # and the stitched known-region noise (reference keeps the mean,
+        # sde.py:215-223)
+        grid = _step_grid(self.sde, ts, denoise, eps)
 
         def body(carry, inp):
             x, key = carry
-            t, t_next = inp
-            key, sub = jax.random.split(key)
-            x, _ = self.inpaint_update_fn(x, t, t_next - t, mask, x_0, sub)
+            t, dt, flag = inp
+            key, k_step, k_perturb = jax.random.split(key, 3)
+            fl = flag.astype(x.dtype)
+            tv = jnp.broadcast_to(t, (x.shape[0],))
+            f, g = self.sde.reverse_sde(x, tv, self.score_fn)
+            dt_c = jnp.asarray(dt).astype(x.dtype)
+            noise = jax.random.normal(k_step, x.shape, x.dtype)
+            x = x + f * dt_c + fl * g * jnp.sqrt(dt_c) * noise
+            tvk = jnp.full((x.shape[0],), self.sde.T - t, dtype=t.dtype)
+            u_k, mu_k = self._perturb(x_0, tvk, k_perturb)
+            known = mu_k.astype(x.dtype) + fl * (u_k - mu_k).astype(x.dtype)
+            x = self._stitch(x, known, mask)
             return (x, key), None
 
-        (x, key), _ = jax.lax.scan(body, (x, key), (ts[:-1], ts[1:]))
-        if denoise:
-            key, sub = jax.random.split(key)
-            _, x = self.inpaint_update_fn(
-                x, jnp.asarray(self.sde.T - eps, ts.dtype),
-                jnp.asarray(eps, ts.dtype), mask, x_0, sub, denoise=True)
+        (x, key), _ = jax.lax.scan(body, (x, key), grid)
         return x
 
 

@@ -181,3 +181,33 @@ def test_fused_leaky_relu_grad():
         db = b.at[i].add(e)
         num = (loss(x, db) - loss(x, b)) / e
         np.testing.assert_allclose(float(gb[i]), float(num), rtol=2e-2)
+
+
+def test_fused_attention_matches_einsum():
+    from psld_tpu.ops.attention import attention_reference, fused_attention
+    import jax.numpy as jnp
+
+    q = jnp.asarray(rand((3, 256, 128), seed=20))
+    k = jnp.asarray(rand((3, 256, 128), seed=21))
+    v = jnp.asarray(rand((3, 256, 128), seed=22))
+    scale = 128**-0.5
+    want = np.asarray(attention_reference(q, k, v, scale))
+    got = np.asarray(fused_attention(q, k, v, scale, force=False))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+    # Pallas path in interpreter mode
+    from jax.experimental.pallas import tpu as pltpu
+
+    with pltpu.force_tpu_interpret_mode():
+        got_p = np.asarray(fused_attention(q, k, v, scale, force=True))
+    np.testing.assert_allclose(got_p, want, rtol=1e-4, atol=1e-4)
+
+
+def test_fused_attention_unfriendly_shape_falls_back():
+    from psld_tpu.ops.attention import fused_attention
+    import jax.numpy as jnp
+
+    # C=96 not a lane multiple -> einsum fallback must engage
+    q = jnp.asarray(rand((2, 64, 96), seed=23))
+    out = fused_attention(q, q, q, 96**-0.5)
+    assert out.shape == (2, 64, 96)
+    assert np.isfinite(np.asarray(out)).all()
