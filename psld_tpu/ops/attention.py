@@ -64,7 +64,10 @@ def fused_attention(q, k, v, scale: float, force: bool | None = None):
     )
     if not use:
         return attention_reference(q, k, v, scale)
-    spec = pl.BlockSpec((1, n, c), lambda i: (i, 0, 0),
+    # index-map zeros must stay i32: under jax_enable_x64 a literal 0 traces
+    # as i64, which Mosaic cannot legalize ("failed to legalize func.return");
+    # deriving them from the (strongly-typed i32) grid index keeps the dtype
+    spec = pl.BlockSpec((1, n, c), lambda i: (i, i * 0, i * 0),
                         memory_space=pltpu.VMEM)
     return pl.pallas_call(
         partial(_attn_kernel, scale=scale),
