@@ -54,16 +54,8 @@ def _pallas_ok(n: int, c: int, dtype) -> bool:
     )
 
 
-@partial(jax.jit, static_argnames=("scale", "force"))
-def fused_attention(q, k, v, scale: float, force: bool | None = None):
-    """(B, N, C) -> (B, N, C); Pallas on TPU for friendly shapes, einsum
-    fallback otherwise. ``force=True/False`` overrides dispatch (tests)."""
+def _pallas_attention(q, k, v, scale: float):
     b, n, c = q.shape
-    use = force if force is not None else (
-        jax.default_backend() == "tpu" and _pallas_ok(n, c, q.dtype)
-    )
-    if not use:
-        return attention_reference(q, k, v, scale)
     # index-map zeros must stay i32: under jax_enable_x64 a literal 0 traces
     # as i64, which Mosaic cannot legalize ("failed to legalize func.return");
     # deriving them from the (strongly-typed i32) grid index keeps the dtype
@@ -76,3 +68,39 @@ def fused_attention(q, k, v, scale: float, force: bool | None = None):
         in_specs=[spec, spec, spec],
         out_specs=spec,
     )(q, k, v)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _attention_vjp(scale, q, k, v):
+    return _pallas_attention(q, k, v, scale)
+
+
+def _attention_fwd(scale, q, k, v):
+    return _pallas_attention(q, k, v, scale), (q, k, v)
+
+
+def _attention_bwd(scale, res, g):
+    # exact gradient of the same function: recompute the (tiny, <=256-token)
+    # probability matrix and pull back through the reference einsum chain --
+    # Pallas kernels have no automatic reverse-mode rule
+    q, k, v = res
+    _, pullback = jax.vjp(lambda q_, k_, v_:
+                          attention_reference(q_, k_, v_, scale), q, k, v)
+    return pullback(g)
+
+
+_attention_vjp.defvjp(_attention_fwd, _attention_bwd)
+
+
+@partial(jax.jit, static_argnames=("scale", "force"))
+def fused_attention(q, k, v, scale: float, force: bool | None = None):
+    """(B, N, C) -> (B, N, C); Pallas on TPU for friendly shapes, einsum
+    fallback otherwise. Differentiable either way (custom VJP on the Pallas
+    path). ``force=True/False`` overrides dispatch (tests)."""
+    b, n, c = q.shape
+    use = force if force is not None else (
+        jax.default_backend() == "tpu" and _pallas_ok(n, c, q.dtype)
+    )
+    if not use:
+        return attention_reference(q, k, v, scale)
+    return _attention_vjp(scale, q, k, v)

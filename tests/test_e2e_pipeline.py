@@ -115,6 +115,53 @@ def test_inpaint_pipeline(trained, workdir):
     assert len(glob.glob(f"{save}/corrupt/*.png")) == 4
 
 
+def test_clf_train_and_guided_sample(trained, workdir):
+    """train_clf -> checkpoint -> class_cond_sample (reference
+    train_clf.py + eval/class_cond_sample.py end-to-end)."""
+    import glob as _glob
+
+    from psld_tpu.config import compose
+    from psld_tpu.eval.generate import class_cond_sample
+    from psld_tpu.train.loop import train_clf
+
+    results, ckpt_path, argv = trained
+    clf_results = str(workdir / "clf_results")
+    clf_argv = argv + [
+        "dataset.clf.data.name=synthetic",
+        "dataset.clf.data.image_size=16",
+        f"dataset.clf.data.root={workdir}",
+        "dataset.clf.data.return_target=True",
+        "dataset.clf.model.clf_fn.nf=8",
+        "dataset.clf.model.clf_fn.ch_mult=[1,2]",
+        "dataset.clf.model.clf_fn.num_res_blocks=1",
+        "dataset.clf.model.clf_fn.attn_resolutions=[8]",
+        "dataset.clf.model.clf_fn.n_cls=10",
+        "dataset.clf.training.batch_size=4",
+        "dataset.clf.training.epochs=1",
+        "dataset.clf.training.chkpt_interval=1",
+        f"dataset.clf.training.results_dir={clf_results}",
+    ]
+    cfg = compose(clf_argv)
+    train_clf(cfg.dataset, max_steps=4)
+    clf_ckpts = _glob.glob(f"{clf_results}/checkpoints/clf-*")
+    assert len(clf_ckpts) == 1, clf_ckpts
+
+    save = str(workdir / "cc_samples")
+    cfg = compose(clf_argv + [
+        f"dataset.diffusion.evaluation.chkpt_path={ckpt_path}",
+        f"dataset.diffusion.evaluation.save_path={save}",
+        "dataset.diffusion.evaluation.sampler.name=cc_em_sde",
+        "dataset.diffusion.evaluation.n_samples=4",
+        "dataset.diffusion.evaluation.batch_size=4",
+        f"dataset.clf.evaluation.chkpt_path={clf_ckpts[0]}",
+        "dataset.clf.evaluation.label_to_sample=3",
+        "dataset.clf.evaluation.clf_temp=1.0",
+    ])
+    assert class_cond_sample(cfg.dataset) == 4
+    pngs = _glob.glob(f"{save}/images/*.png")
+    assert len(pngs) == 4, pngs
+
+
 def test_checkpoint_resume(trained, workdir):
     from psld_tpu.config import compose
     from psld_tpu.train.loop import train_sde

@@ -202,6 +202,31 @@ def test_fused_attention_matches_einsum():
     np.testing.assert_allclose(got_p, want, rtol=1e-4, atol=1e-4)
 
 
+def test_fused_attention_grad_matches_einsum_grad():
+    from psld_tpu.ops.attention import attention_reference, fused_attention
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental.pallas import tpu as pltpu
+
+    q = jnp.asarray(rand((2, 64, 128), seed=30))
+    k = jnp.asarray(rand((2, 64, 128), seed=31))
+    v = jnp.asarray(rand((2, 64, 128), seed=32))
+    scale = 128**-0.5
+
+    def loss_ref(q, k, v):
+        return jnp.sum(attention_reference(q, k, v, scale) ** 2)
+
+    def loss_pal(q, k, v):
+        return jnp.sum(fused_attention(q, k, v, scale, force=True) ** 2)
+
+    want = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    with pltpu.force_tpu_interpret_mode():
+        got = jax.grad(loss_pal, argnums=(0, 1, 2))(q, k, v)
+    for g, w in zip(got, want):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w),
+                                   rtol=1e-4, atol=1e-4)
+
+
 def test_fused_attention_unfriendly_shape_falls_back():
     from psld_tpu.ops.attention import fused_attention
     import jax.numpy as jnp
