@@ -83,10 +83,12 @@ def main():
     sample = jax.jit(run)
 
     z = sde.prior_sampling(jax.random.PRNGKey(1), (BATCH, 32, 32, 3))
-    # compile + warmup
-    sample(params, jax.random.PRNGKey(2), z).block_until_ready()
+    # compile + warmup; time via a host fetch of the result -- on tunneled
+    # runtimes block_until_ready can return before execution finishes, so
+    # only materializing the value gives a trustworthy wall-clock
+    np.asarray(sample(params, jax.random.PRNGKey(2), z))
     t_start = time.time()
-    sample(params, jax.random.PRNGKey(3), z).block_until_ready()
+    np.asarray(sample(params, jax.random.PRNGKey(3), z))
     elapsed = time.time() - t_start
 
     value = BATCH / elapsed

@@ -65,13 +65,16 @@ def main():
         state = init_state(params, optimizer)
         batch = jax.random.normal(jax.random.PRNGKey(1), (bs, 32, 32, 3),
                                   jnp.float32)
-        state, _ = step_fn(state, batch, jax.random.PRNGKey(2))
-        jax.block_until_ready(state.params)
+        state, metrics = step_fn(state, batch, jax.random.PRNGKey(2))
+        # fetch a scalar to force execution: on tunneled runtimes
+        # block_until_ready can return before execution finishes
+        float(metrics["loss"])
         n_iters = 5
         t_start = time.time()
         for i in range(n_iters):
             state, metrics = step_fn(state, batch, jax.random.PRNGKey(3 + i))
-        jax.block_until_ready(state.params)
+        # the final loss depends on the chained state -> all steps ran
+        float(metrics["loss"])
         el = (time.time() - t_start) / n_iters
         print(json.dumps({
             "metric": "train step",
