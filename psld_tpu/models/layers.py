@@ -72,6 +72,48 @@ def group_norm(ch: int) -> nn.GroupNorm:
     return nn.GroupNorm(num_groups=min(ch // 4, 32), epsilon=1e-6)
 
 
+def act_name_of(fn: Callable) -> str | None:
+    """Map an activation callable back to its registry name (None if not a
+    stock activation) so GN->act call sites can use the fused kernel."""
+    if fn is jax.nn.silu:
+        return "swish"
+    if fn is jax.nn.elu:
+        return "elu"
+    if fn is jax.nn.relu:
+        return "relu"
+    if isinstance(fn, partial) and fn.func is jax.nn.leaky_relu:
+        return "lrelu"
+    return None
+
+
+class GroupNormAct(nn.Module):
+    """GroupNorm(min(C//4, 32)) fused with the following activation into one
+    Pallas VMEM pass (reference pattern ``act(GroupNorm(x))``,
+    layerspp.py:183-186). Same parameters and numerics as nn.GroupNorm."""
+
+    act: str = "none"
+    eps: float = 1e-6
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        from psld_tpu.ops.group_norm import fused_group_norm_act
+
+        c = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        return fused_group_norm_act(x, scale, bias, min(c // 4, 32),
+                                    self.eps, self.act)
+
+
+def norm_act(x: jax.Array, act: Callable) -> jax.Array:
+    """``act(GroupNorm(x))`` via the fused kernel when ``act`` is a stock
+    activation; must be called inside an ``nn.compact`` scope."""
+    name = act_name_of(act)
+    if name is None:
+        return act(GroupNormAct(act="none")(x))
+    return GroupNormAct(act=name)(x)
+
+
 def get_timestep_embedding(timesteps: jax.Array, embedding_dim: int,
                            max_positions: int = 10_000) -> jax.Array:
     """DDPM sinusoidal embedding (reference layers.py:500-514)."""
@@ -156,7 +198,7 @@ class AttnBlock(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         b, h_dim, w_dim, c = x.shape
-        h = group_norm(c)(x)
+        h = GroupNormAct(act="none")(x)
         q = NIN(c)(h)
         k = NIN(c)(h)
         v = NIN(c)(h)
@@ -279,13 +321,13 @@ class ResnetBlockDDPM(nn.Module):
     def __call__(self, x, temb=None, train: bool = False):
         in_ch = x.shape[-1]
         out_ch = self.out_ch or in_ch
-        h = self.act(group_norm(in_ch)(x))
+        h = norm_act(x, self.act)
         h = conv3x3(out_ch)(h)
         if temb is not None:
             h += nn.Dense(out_ch, kernel_init=default_init(),
                           bias_init=nn.initializers.zeros)(
                 self.act(temb))[:, None, None, :]
-        h = self.act(group_norm(out_ch)(h))
+        h = norm_act(h, self.act)
         h = nn.Dropout(self.dropout, deterministic=not train)(h)
         h = conv3x3(out_ch, init_scale=self.init_scale)(h)
         if in_ch != out_ch:
@@ -316,7 +358,7 @@ class ResnetBlockBigGAN(nn.Module):
     def __call__(self, x, temb=None, train: bool = False):
         in_ch = x.shape[-1]
         out_ch = self.out_ch or in_ch
-        h = self.act(group_norm(in_ch)(x))
+        h = norm_act(x, self.act)
 
         if self.up:
             if self.fir:
@@ -338,7 +380,7 @@ class ResnetBlockBigGAN(nn.Module):
             h += nn.Dense(out_ch, kernel_init=default_init(),
                           bias_init=nn.initializers.zeros)(
                 self.act(temb))[:, None, None, :]
-        h = self.act(group_norm(out_ch)(h))
+        h = norm_act(h, self.act)
         h = nn.Dropout(self.dropout, deterministic=not train)(h)
         h = conv3x3(out_ch, init_scale=self.init_scale)(h)
 

@@ -213,10 +213,10 @@ class NCSNpp(_NCSNBase):
                     if self.progressive == "output_skip":
                         pyramid = layers.conv3x3(
                             self.out_ch, init_scale=self.init_scale)(
-                            self.act(layers.group_norm(h.shape[-1])(h)))
+                            layers.norm_act(h, self.act))
                     else:  # residual
                         pyramid = layers.conv3x3(h.shape[-1])(
-                            self.act(layers.group_norm(h.shape[-1])(h)))
+                            layers.norm_act(h, self.act))
                 else:
                     if self.progressive == "output_skip":
                         pyramid = layers.Upsample(
@@ -224,7 +224,7 @@ class NCSNpp(_NCSNBase):
                             with_conv=False)(pyramid)
                         pyramid_h = layers.conv3x3(
                             self.out_ch, init_scale=self.init_scale)(
-                            self.act(layers.group_norm(h.shape[-1])(h)))
+                            layers.norm_act(h, self.act))
                         pyramid = pyramid + pyramid_h
                     else:  # residual
                         pyramid = layers.Upsample(
@@ -250,7 +250,7 @@ class NCSNpp(_NCSNBase):
         if self.progressive == "output_skip":
             h = pyramid
         else:
-            h = self.act(layers.group_norm(h.shape[-1])(h))
+            h = layers.norm_act(h, self.act)
             h = layers.conv3x3(self.out_ch, init_scale=self.init_scale)(h)
         return h
 

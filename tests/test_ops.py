@@ -227,6 +227,77 @@ def test_fused_attention_grad_matches_einsum_grad():
                                    rtol=1e-4, atol=1e-4)
 
 
+def test_fused_group_norm_matches_flax():
+    import flax.linen as nn
+    import jax.numpy as jnp
+    from jax.experimental.pallas import tpu as pltpu
+
+    from psld_tpu.ops.group_norm import (
+        fused_group_norm_act,
+        group_norm_act_reference,
+    )
+
+    x = jnp.asarray(rand((2, 8, 8, 256), seed=40))
+    scale = jnp.asarray(rand((256,), seed=41)) + 1.0
+    bias = jnp.asarray(rand((256,), seed=42))
+    g = min(256 // 4, 32)
+
+    gn = nn.GroupNorm(num_groups=g, epsilon=1e-6)
+    params = {"params": {"scale": scale, "bias": bias}}
+    want = np.asarray(jax.nn.silu(gn.apply(params, x)))
+
+    ref = np.asarray(group_norm_act_reference(x, scale, bias, g, 1e-6,
+                                              "swish"))
+    np.testing.assert_allclose(ref, want, rtol=1e-5, atol=1e-5)
+
+    with pltpu.force_tpu_interpret_mode():
+        got = np.asarray(fused_group_norm_act(x, scale, bias, g, 1e-6,
+                                              "swish", force=True))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_fused_group_norm_grad():
+    import jax.numpy as jnp
+    from jax.experimental.pallas import tpu as pltpu
+
+    from psld_tpu.ops.group_norm import (
+        fused_group_norm_act,
+        group_norm_act_reference,
+    )
+
+    x = jnp.asarray(rand((2, 4, 4, 128), seed=43))
+    scale = jnp.asarray(rand((128,), seed=44)) + 1.0
+    bias = jnp.asarray(rand((128,), seed=45))
+    g = 32
+
+    def loss_ref(x, s, b):
+        return jnp.sum(group_norm_act_reference(x, s, b, g, 1e-6, "swish") ** 2)
+
+    def loss_pal(x, s, b):
+        return jnp.sum(fused_group_norm_act(x, s, b, g, 1e-6, "swish",
+                                            force=True) ** 2)
+
+    want = jax.grad(loss_ref, argnums=(0, 1, 2))(x, scale, bias)
+    with pltpu.force_tpu_interpret_mode():
+        got = jax.grad(loss_pal, argnums=(0, 1, 2))(x, scale, bias)
+    for gg, w in zip(got, want):
+        np.testing.assert_allclose(np.asarray(gg), np.asarray(w),
+                                   rtol=1e-4, atol=1e-4)
+
+
+def test_fused_group_norm_unfriendly_shape_falls_back():
+    import jax.numpy as jnp
+
+    from psld_tpu.ops.group_norm import fused_group_norm_act
+
+    # C=96 not a lane multiple -> jnp fallback must engage
+    x = jnp.asarray(rand((2, 4, 4, 96), seed=46))
+    out = fused_group_norm_act(x, jnp.ones((96,)), jnp.zeros((96,)),
+                               min(96 // 4, 32), 1e-6, "elu")
+    assert out.shape == x.shape
+    assert np.isfinite(np.asarray(out)).all()
+
+
 def test_fused_attention_unfriendly_shape_falls_back():
     from psld_tpu.ops.attention import fused_attention
     import jax.numpy as jnp
