@@ -88,26 +88,44 @@ def train_sde(config, max_steps: int | None = None):
     total_steps = 0
     last_loss = float("nan")
 
-    for epoch in range(start_epoch, int(tcfg.epochs)):
-        t_epoch = time.time()
-        for batch in loader:
-            batch = shard_batch(jnp.asarray(batch), mesh)
-            state, metrics = step_fn(state, batch, rng)
-            total_steps += 1
-            if total_steps % log_step == 0:
-                last_loss = float(metrics["loss"])
+    # observability (SURVEY.md section 5): JSONL metrics stream + optional
+    # jax.profiler trace of the first profiled epoch
+    from psld_tpu.utils import profiling
+
+    mlog = profiling.MetricsLogger(f"{tcfg.results_dir}/metrics.jsonl")
+    timer = profiling.StepTimer()
+    trace_dir = str(tcfg.get("profile_dir", "") or "")
+
+    with profiling.trace(trace_dir or None):
+        for epoch in range(start_epoch, int(tcfg.epochs)):
+            t_epoch = time.time()
+            for batch in loader:
+                with timer.phase("data"):
+                    batch = shard_batch(jnp.asarray(batch), mesh)
+                with timer.phase("step"):
+                    state, metrics = step_fn(state, batch, rng)
+                total_steps += 1
+                if total_steps % log_step == 0:
+                    last_loss = float(metrics["loss"])
+                    mlog.log(total_steps, loss=last_loss,
+                             grad_norm=float(metrics["grad_norm"]),
+                             epoch=epoch)
+                if max_steps is not None and total_steps >= max_steps:
+                    break
+            logger.info("epoch %d: loss=%.4f (%.1fs)", epoch, last_loss,
+                        time.time() - t_epoch)
+            if (epoch + 1) % int(tcfg.chkpt_interval) == 0 or (
+                    max_steps is not None and total_steps >= max_steps):
+                with timer.phase("ckpt"):
+                    name = ckpt.checkpoint_name(sde.type,
+                                                str(tcfg.chkpt_prefix),
+                                                epoch, last_loss)
+                    path = ckpt.save_checkpoint(ckpt_dir, name, state)
+                logger.info("checkpoint: %s", path)
             if max_steps is not None and total_steps >= max_steps:
                 break
-        logger.info("epoch %d: loss=%.4f (%.1fs)", epoch, last_loss,
-                    time.time() - t_epoch)
-        if (epoch + 1) % int(tcfg.chkpt_interval) == 0 or (
-                max_steps is not None and total_steps >= max_steps):
-            name = ckpt.checkpoint_name(sde.type, str(tcfg.chkpt_prefix),
-                                        epoch, last_loss)
-            path = ckpt.save_checkpoint(ckpt_dir, name, state)
-            logger.info("checkpoint: %s", path)
-        if max_steps is not None and total_steps >= max_steps:
-            break
+    logger.info("timing: %s", timer.summary())
+    mlog.close()
     return state
 
 

@@ -59,6 +59,16 @@ def test_train_writes_checkpoint(trained):
     assert "epoch=0000" in ckpt_path
 
 
+def test_train_writes_metrics_jsonl(trained):
+    import json
+
+    results, _, _ = trained
+    path = os.path.join(results, "metrics.jsonl")
+    assert os.path.exists(path)
+    recs = [json.loads(line) for line in open(path)]
+    assert recs and {"step", "loss", "grad_norm", "epoch"} <= recs[0].keys()
+
+
 def test_sample_from_checkpoint(trained, workdir):
     from psld_tpu.eval.generate import sample
     from psld_tpu.config import compose
