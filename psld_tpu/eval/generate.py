@@ -18,7 +18,7 @@ import numpy as np
 from psld_tpu.data.datasets import InpaintDataset, SDELatentDataset
 from psld_tpu.data.loader import get_dataset
 from psld_tpu.eval.writers import InpaintingImageWriter, SimpleImageWriter
-from psld_tpu.parallel.mesh import make_mesh, shard_batch
+from psld_tpu.parallel.mesh import make_mesh, replicate, shard_batch
 from psld_tpu.registry import get_module
 from psld_tpu.samplers.base import make_timesteps
 from psld_tpu.train import checkpoint as ckpt
@@ -62,8 +62,6 @@ def _run_sampler(config, sde, sampler_factory, params, writer, batch_source,
     n_samples = int(ecfg.n_samples)
     seed = int(ecfg.seed)
     key = jax.random.PRNGKey(seed)
-    from psld_tpu.parallel.mesh import replicate
-
     params = replicate(params, mesh)
 
     sampler_name = str(ecfg.sampler.name)

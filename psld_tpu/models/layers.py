@@ -66,10 +66,12 @@ def conv1x1(out_ch: int, *, bias: bool = True, init_scale: float = 1.0) -> nn.Co
                    bias_init=nn.initializers.zeros)
 
 
-def group_norm(ch: int) -> nn.GroupNorm:
+def group_norm(ch: int) -> "GroupNormAct":
     """GroupNorm(min(ch//4, 32)) as used inline throughout NCSN++
-    (reference layerspp.py:67-68)."""
-    return nn.GroupNorm(num_groups=min(ch // 4, 32), epsilon=1e-6)
+    (reference layerspp.py:67-68); alias of GroupNormAct(act="none") so
+    every call site shares one implementation and parameter layout."""
+    del ch  # channel count is inferred from the input
+    return GroupNormAct(act="none")
 
 
 def act_name_of(fn: Callable) -> str | None:
@@ -81,15 +83,18 @@ def act_name_of(fn: Callable) -> str | None:
         return "elu"
     if fn is jax.nn.relu:
         return "relu"
-    if isinstance(fn, partial) and fn.func is jax.nn.leaky_relu:
+    if (isinstance(fn, partial) and fn.func is jax.nn.leaky_relu
+            and fn.keywords.get("negative_slope") == 0.2 and not fn.args):
         return "lrelu"
     return None
 
 
 class GroupNormAct(nn.Module):
-    """GroupNorm(min(C//4, 32)) fused with the following activation into one
-    Pallas VMEM pass (reference pattern ``act(GroupNorm(x))``,
-    layerspp.py:183-186). Same parameters and numerics as nn.GroupNorm."""
+    """GroupNorm(min(C//4, 32)) fused with the following activation
+    (reference pattern ``act(GroupNorm(x))``, layerspp.py:183-186). Same
+    parameter shapes/names ("scale", "bias") and numerics as nn.GroupNorm;
+    the module path differs (GroupNormAct_N), so checkpoints are not
+    interchangeable with nn.GroupNorm-based trees."""
 
     act: str = "none"
     eps: float = 1e-6

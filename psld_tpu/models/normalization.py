@@ -31,10 +31,11 @@ def _normal_init(mean=1.0, std=0.02):
 
 def _plus_stats(x):
     """Cross-channel normalization of per-(sample, channel) means
-    (the 'InstanceNorm++' correction)."""
+    (the 'InstanceNorm++' correction). ddof=1: the reference uses
+    torch.var's unbiased default (normalization.py:173, 203)."""
     means = x.mean(axis=(1, 2))                      # [B, C]
     m = means.mean(axis=-1, keepdims=True)
-    v = means.var(axis=-1, keepdims=True)
+    v = means.var(axis=-1, keepdims=True, ddof=1)
     return (means - m) * jax.lax.rsqrt(v + _EPS)     # [B, C]
 
 
@@ -55,7 +56,8 @@ class VarianceNorm2d(nn.Module):
     @nn.compact
     def __call__(self, x):
         alpha = self.param("alpha", _normal_init(), (self.features,))
-        var = x.var(axis=(1, 2), keepdims=True)
+        # unbiased: reference torch.var default (normalization.py:119)
+        var = x.var(axis=(1, 2), keepdims=True, ddof=1)
         return alpha * x * jax.lax.rsqrt(var + _EPS)
 
 
@@ -143,7 +145,8 @@ class ConditionalVarianceNorm2d(nn.Module):
 
     @nn.compact
     def __call__(self, x, y):
-        var = x.var(axis=(1, 2), keepdims=True)
+        # unbiased: reference torch.var default (normalization.py:102)
+        var = x.var(axis=(1, 2), keepdims=True, ddof=1)
         h = x * jax.lax.rsqrt(var + _EPS)
         gamma = _ClassEmbed(self.num_classes, self.features,
                             _normal_init())(y)

@@ -135,7 +135,9 @@ def _env_opt_in() -> bool:
     return os.environ.get("PSLD_FUSED_GN", "0") == "1"
 
 
-@partial(jax.jit, static_argnames=("num_groups", "eps", "act", "force"))
+# NOT jitted: callers (model applies) are jitted already, and keeping the
+# dispatch outside a jit boundary means the PSLD_FUSED_GN opt-in is read at
+# every trace instead of being frozen into a cached compilation.
 def fused_group_norm_act(x, scale, bias, num_groups: int, eps: float = 1e-6,
                          act: str = "none", force: bool | None = None):
     """NHWC (B, H, W, C) -> same. ``force=True/False`` overrides dispatch.

@@ -142,6 +142,9 @@ class ClassCondEulerMaruyamaSampler(Sampler):
             x_mean = x + f * dt_c
             noise = jax.random.normal(sub, x.shape, x.dtype)
             x = x_mean + flag.astype(x.dtype) * g * jnp.sqrt(dt_c) * noise
+            if self.corrector_fn is not None:
+                xc, _ = self.corrector_update_fn(x, t, dt)
+                x = jnp.where(flag > 0, xc, x)  # no corrector on denoise
             return (x, key), None
 
         (x, key), _ = jax.lax.scan(body, (x, key), grid)

@@ -88,23 +88,39 @@ def train_sde(config, max_steps: int | None = None):
     total_steps = 0
     last_loss = float("nan")
 
-    # observability (SURVEY.md section 5): JSONL metrics stream + optional
-    # jax.profiler trace of the first profiled epoch
+    # observability (SURVEY.md section 5): JSONL metrics stream, per-phase
+    # wall-clock, and a BOUNDED jax.profiler capture of the first
+    # profile_steps steps (an unbounded multi-epoch trace would grow to GBs)
     from psld_tpu.utils import profiling
 
     mlog = profiling.MetricsLogger(f"{tcfg.results_dir}/metrics.jsonl")
     timer = profiling.StepTimer()
     trace_dir = str(tcfg.get("profile_dir", "") or "")
+    profile_steps = int(tcfg.get("profile_steps", 10))
+    tracing = False
+    if trace_dir:
+        jax.profiler.start_trace(trace_dir)
+        tracing = True
 
-    with profiling.trace(trace_dir or None):
+    try:
         for epoch in range(start_epoch, int(tcfg.epochs)):
             t_epoch = time.time()
-            for batch in loader:
+            batches = iter(loader)
+            while True:
                 with timer.phase("data"):
+                    batch = next(batches, None)
+                    if batch is None:
+                        break
                     batch = shard_batch(jnp.asarray(batch), mesh)
                 with timer.phase("step"):
                     state, metrics = step_fn(state, batch, rng)
                 total_steps += 1
+                if tracing and total_steps >= profile_steps:
+                    jax.block_until_ready(state.params)
+                    jax.profiler.stop_trace()
+                    tracing = False
+                    logger.info("profiler trace (%d steps): %s",
+                                total_steps, trace_dir)
                 if total_steps % log_step == 0:
                     last_loss = float(metrics["loss"])
                     mlog.log(total_steps, loss=last_loss,
@@ -124,6 +140,9 @@ def train_sde(config, max_steps: int | None = None):
                 logger.info("checkpoint: %s", path)
             if max_steps is not None and total_steps >= max_steps:
                 break
+    finally:
+        if tracing:
+            jax.profiler.stop_trace()
     logger.info("timing: %s", timer.summary())
     mlog.close()
     return state

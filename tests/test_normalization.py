@@ -23,24 +23,40 @@ def test_instance_norm_matches_torch():
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
 
 
-def test_variance_norm_semantics():
+def test_variance_norm_matches_torch_var():
     x = rand((2, 6, 6, 4), seed=1)
     mod = norms.VarianceNorm2d(features=4)
     params = mod.init(jax.random.PRNGKey(0), jnp.asarray(x))
     out = np.asarray(mod.apply(params, jnp.asarray(x)))
     alpha = np.asarray(params["params"]["alpha"])
-    var = x.var(axis=(1, 2), keepdims=True)
+    # torch.var default is unbiased (reference normalization.py:119)
+    xt = torch.from_numpy(x.transpose(0, 3, 1, 2))
+    var = torch.var(xt, dim=(2, 3), keepdim=True).numpy().transpose(0, 2, 3, 1)
     want = alpha * x / np.sqrt(var + 1e-5)
     np.testing.assert_allclose(out, want, rtol=1e-4, atol=1e-5)
 
 
-def test_instance_norm_plus_shapes_and_stats():
+def test_instance_norm_plus_matches_torch():
     x = rand((3, 8, 8, 6), seed=2)
     mod = norms.InstanceNorm2dPlus(features=6)
     params = mod.init(jax.random.PRNGKey(0), jnp.asarray(x))
-    out = mod.apply(params, jnp.asarray(x))
+    out = np.asarray(mod.apply(params, jnp.asarray(x)))
     assert out.shape == x.shape
-    assert np.isfinite(np.asarray(out)).all()
+
+    # torch oracle transcribing reference normalization.py:171-182
+    xt = torch.from_numpy(x.transpose(0, 3, 1, 2))
+    means = torch.mean(xt, dim=(2, 3))
+    m = torch.mean(means, dim=-1, keepdim=True)
+    v = torch.var(means, dim=-1, keepdim=True)  # unbiased
+    means = (means - m) / torch.sqrt(v + 1e-5)
+    h = F.instance_norm(xt, eps=1e-5)
+    alpha = torch.from_numpy(np.asarray(params["params"]["alpha"]))
+    gamma = torch.from_numpy(np.asarray(params["params"]["gamma"]))
+    beta = torch.from_numpy(np.asarray(params["params"]["beta"]))
+    h = h + means[..., None, None] * alpha[..., None, None]
+    want = (gamma.view(1, 6, 1, 1) * h + beta.view(1, 6, 1, 1)).numpy()
+    np.testing.assert_allclose(out, want.transpose(0, 2, 3, 1),
+                               rtol=1e-4, atol=1e-5)
 
 
 def test_conditional_variants_apply():
@@ -59,9 +75,8 @@ def test_conditional_variants_apply():
         assert np.isfinite(np.asarray(out)).all(), cls.__name__
         # different class labels give different outputs (conditionality)
         out2 = mod.apply(params, x, jnp.asarray([2, 0, 1, 0]))
-        if cls is not norms.ConditionalBatchNorm2d or True:
-            assert not np.allclose(np.asarray(out), np.asarray(out2)), (
-                cls.__name__)
+        assert not np.allclose(np.asarray(out), np.asarray(out2)), (
+            cls.__name__)
 
 
 def test_get_normalization_dispatch():

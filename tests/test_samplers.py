@@ -194,6 +194,40 @@ def test_quadratic_stride():
     assert dts[0] > dts[-1]  # large early steps, fine late steps
 
 
+def test_corrector_hook_engages():
+    """EM and guided EM must honor corrector_fn (reference base.py:22-27,
+    sde.py:115); the scan-fold refactor must not silently drop it."""
+    from psld_tpu.samplers.sde_samplers import ClassCondEulerMaruyamaSampler
+
+    cfg, sde = make_psld(n_steps=10)
+    score = psld_exact_score_fn(sde)
+    ts = make_timesteps(9, 1e-3)
+    z = sde.prior_sampling(jax.random.PRNGKey(0), (4, 2, 2, 1))
+
+    def corrector(x, t, dt):
+        return x * 0.9, x
+
+    def clf_fn(x, t):
+        return jnp.zeros((x.shape[0], 3), x.dtype)
+
+    cc_cfg = ConfigDict(cfg.to_dict())
+    cc_cfg["clf"] = ConfigDict(
+        {"evaluation": {"label_to_sample": 0, "clf_temp": 1.0}})
+    for plain, corrected in (
+        (EulerMaruyamaSampler(cfg, sde, score),
+         EulerMaruyamaSampler(cfg, sde, score, corrector_fn=corrector)),
+        (ClassCondEulerMaruyamaSampler(cc_cfg, sde, score, clf_fn=clf_fn),
+         ClassCondEulerMaruyamaSampler(cc_cfg, sde, score, clf_fn=clf_fn,
+                                       corrector_fn=corrector)),
+    ):
+        a = jax.jit(lambda k, z, s=plain: s.sample(k, z, ts, 9))(
+            jax.random.PRNGKey(1), z)
+        b = jax.jit(lambda k, z, s=corrected: s.sample(k, z, ts, 9))(
+            jax.random.PRNGKey(1), z)
+        assert not np.allclose(np.asarray(a), np.asarray(b)), type(plain)
+        assert np.isfinite(np.asarray(b)).all()
+
+
 def test_em_sampler_deterministic_given_key():
     cfg, sde = make_psld(n_steps=10)
     sampler = EulerMaruyamaSampler(cfg, sde, psld_exact_score_fn(sde))
