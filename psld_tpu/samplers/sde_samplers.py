@@ -94,6 +94,12 @@ class ClassCondEulerMaruyamaSampler(Sampler):
 
     The guidance gradient is ``jax.grad`` of the selected log-softmax w.r.t.
     the full phase-space state -- no inference_mode/requires_grad dance.
+
+    Deliberate deviation: the classifier is conditioned on diffusion time
+    ``T - t`` (its training distribution, losses.py:150-177) whereas the
+    reference passes raw sampler time (sde.py:87) while flipping time for
+    the score net inside reverse_sde (psld.py:345-364) -- an internal
+    inconsistency there; the reference's own inpainter uses ``T - t``.
     """
 
     def __init__(self, config, sde, score_fn, clf_fn, corrector_fn=None):
