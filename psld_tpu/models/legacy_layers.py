@@ -303,27 +303,32 @@ class ResidualBlock(nn.Module):
     adjust_padding: bool = False
     normalization: Callable = InstanceNorm2d
 
+    def _norm(self, h):
+        # the reference instantiates the factory with the channel count
+        # (normalization(input_dim), layers.py:443-449)
+        return self.normalization(features=h.shape[-1])(h)
+
     @nn.compact
     def __call__(self, x):
         in_ch = x.shape[-1]
-        h = self.act(self.normalization()(x))
+        h = self.act(self._norm(x))
         if self.resample == "down":
             if self.dilation > 1:
                 h = ncsn_conv3x3(in_ch, dilation=self.dilation)(h)
-                h = self.act(self.normalization()(h))
+                h = self.act(self._norm(h))
                 h = ncsn_conv3x3(self.out_ch, dilation=self.dilation)(h)
                 shortcut = ncsn_conv3x3(self.out_ch,
                                         dilation=self.dilation)(x)
             else:
                 h = ncsn_conv3x3(in_ch)(h)
-                h = self.act(self.normalization()(h))
+                h = self.act(self._norm(h))
                 h = ConvMeanPool(self.out_ch, 3,
                                  adjust_padding=self.adjust_padding)(h)
                 shortcut = ConvMeanPool(self.out_ch, 1,
                                         adjust_padding=self.adjust_padding)(x)
         elif self.resample is None:
             h = ncsn_conv3x3(self.out_ch, dilation=self.dilation)(h)
-            h = self.act(self.normalization()(h))
+            h = self.act(self._norm(h))
             h = ncsn_conv3x3(self.out_ch, dilation=self.dilation)(h)
             if self.out_ch == in_ch:
                 shortcut = x

@@ -40,7 +40,11 @@ def _plus_stats(x):
 
 
 class InstanceNorm2d(nn.Module):
-    """Plain instance norm (affine=False parity with nn.InstanceNorm2d)."""
+    """Plain instance norm (affine=False parity with nn.InstanceNorm2d).
+    ``features`` is accepted for factory-signature parity with the other
+    variants (reference passes the channel count, layers.py:443)."""
+
+    features: int = 0
 
     @nn.compact
     def __call__(self, x):

@@ -66,7 +66,9 @@ def _gn_kernel(x_ref, scale_ref, bias_ref, part_ref, o_ref, *,
     s1 = dot(jnp.sum(x, axis=0, keepdims=True), part)
     s2 = dot(jnp.sum(x * x, axis=0, keepdims=True), part)
     mean_g = s1 / n
-    var_g = s2 / n - mean_g * mean_g
+    # clamp: E[x^2]-E[x]^2 can cancel below zero in f32 for near-constant
+    # groups with large mean, and rsqrt(negative+eps) is NaN
+    var_g = jnp.maximum(s2 / n - mean_g * mean_g, 0.0)
     # broadcast back to channels: (1, G) @ (G, C)
     mean_c = dot(mean_g, part.T)
     rstd_c = dot(jax.lax.rsqrt(var_g + eps), part.T)

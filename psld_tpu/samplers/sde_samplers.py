@@ -20,20 +20,41 @@ from psld_tpu.sde.psld import join_xm, split_xm
 from psld_tpu.utils.numerics import bcast_right
 
 
-def _em_update(sde, score_fn, x, t, dt, key, denoise_only=False):
-    """One Euler--Maruyama predictor step (reference samplers/sde.py:16-26).
+def _em_update(sde, score_fn, x, t, dt, key, flag=None, guidance=None):
+    """One Euler--Maruyama predictor step (reference samplers/sde.py:16-26);
+    the single implementation shared by the EM, guided, and inpainting scan
+    bodies and the SSCS final denoise.
 
     ``t``/``dt`` are scalars in the time dtype; tensors stay in x.dtype.
+    ``key=None`` gives the mean-only denoise step; ``flag`` (0/1, may be a
+    traced scan input) gates the noise term; ``guidance`` optionally adds
+    ``g^2 * guidance(x)`` to the reverse drift (reference sde.py:94).
     """
     tv = jnp.broadcast_to(jnp.asarray(t), (x.shape[0],))
     f, g = sde.reverse_sde(x, tv, score_fn)
+    if guidance is not None:
+        f = f + g * g * guidance(x).astype(x.dtype)
     dt_c = jnp.asarray(dt).astype(x.dtype)
     x_mean = x + f * dt_c
-    if denoise_only:
+    if key is None:
         return x_mean, x_mean
     noise = jax.random.normal(key, x.shape, x.dtype)
-    x_new = x_mean + g * jnp.sqrt(dt_c) * noise
-    return x_new, x_mean
+    fl = 1.0 if flag is None else flag.astype(x.dtype)
+    return x_mean + fl * g * jnp.sqrt(dt_c) * noise, x_mean
+
+
+def _corrected(sampler, x, t, dt, flag):
+    """Apply the corrector hook except on the flag=0 denoise row; lax.cond
+    skips the corrector's network evaluation entirely on that row instead of
+    computing and discarding it."""
+    if sampler.corrector_fn is None:
+        return x
+    return jax.lax.cond(
+        flag > 0,
+        lambda x_: sampler.corrector_update_fn(x_, t, dt)[0],
+        lambda x_: x_,
+        x,
+    )
 
 
 def _step_grid(sde, ts, denoise: bool, eps: float):
@@ -56,13 +77,6 @@ def _step_grid(sde, ts, denoise: bool, eps: float):
 class EulerMaruyamaSampler(Sampler):
     """(reference samplers/sde.py:9-58)"""
 
-    def predictor_update_fn(self, x, t, dt, key):
-        return _em_update(self.sde, self.score_fn, x, t, dt, key)
-
-    def denoising_fn(self, x, t, dt):
-        return _em_update(self.sde, self.score_fn, x, t, dt, None,
-                          denoise_only=True)[0]
-
     def sample(self, key, batch, ts, n_discrete_steps, denoise=True,
                eps=1e-3):
         del n_discrete_steps  # static: len(ts) - 1
@@ -73,15 +87,8 @@ class EulerMaruyamaSampler(Sampler):
             x, key = carry
             t, dt, flag = inp
             key, sub = jax.random.split(key)
-            tv = jnp.broadcast_to(t, (x.shape[0],))
-            f, g = self.sde.reverse_sde(x, tv, self.score_fn)
-            dt_c = jnp.asarray(dt).astype(x.dtype)
-            x_mean = x + f * dt_c
-            noise = jax.random.normal(sub, x.shape, x.dtype)
-            x = x_mean + flag.astype(x.dtype) * g * jnp.sqrt(dt_c) * noise
-            if self.corrector_fn is not None:
-                xc, _ = self.corrector_update_fn(x, t, dt)
-                x = jnp.where(flag > 0, xc, x)  # no corrector on denoise
+            x, _ = _em_update(self.sde, self.score_fn, x, t, dt, sub, flag)
+            x = _corrected(self, x, t, dt, flag)
             return (x, key), None
 
         (x, key), _ = jax.lax.scan(body, (x, key), grid)
@@ -116,18 +123,6 @@ class ClassCondEulerMaruyamaSampler(Sampler):
 
         return jax.grad(selected_logp)(x) * self.clf_temp
 
-    def predictor_update_fn(self, x, t, dt, key):
-        tv = jnp.full((x.shape[0],), t, dtype=t.dtype)
-        f, g = self.sde.reverse_sde(x, tv, self.score_fn)
-        grad = self._guidance(x, self.sde.T - t).astype(x.dtype)
-        f = f + g * g * grad
-        dt_c = jnp.asarray(dt).astype(x.dtype)
-        x_mean = x + f * dt_c
-        if key is None:
-            return x_mean, x_mean
-        noise = jax.random.normal(key, x.shape, x.dtype)
-        return x_mean + g * jnp.sqrt(dt_c) * noise, x_mean
-
     def sample(self, key, batch, ts, n_discrete_steps, denoise=True,
                eps=1e-3):
         del n_discrete_steps
@@ -140,17 +135,10 @@ class ClassCondEulerMaruyamaSampler(Sampler):
             x, key = carry
             t, dt, flag = inp
             key, sub = jax.random.split(key)
-            tv = jnp.full((x.shape[0],), t, dtype=t.dtype)
-            f, g = self.sde.reverse_sde(x, tv, self.score_fn)
-            grad = self._guidance(x, self.sde.T - t).astype(x.dtype)
-            f = f + g * g * grad
-            dt_c = jnp.asarray(dt).astype(x.dtype)
-            x_mean = x + f * dt_c
-            noise = jax.random.normal(sub, x.shape, x.dtype)
-            x = x_mean + flag.astype(x.dtype) * g * jnp.sqrt(dt_c) * noise
-            if self.corrector_fn is not None:
-                xc, _ = self.corrector_update_fn(x, t, dt)
-                x = jnp.where(flag > 0, xc, x)  # no corrector on denoise
+            x, _ = _em_update(
+                self.sde, self.score_fn, x, t, dt, sub, flag,
+                guidance=lambda xx: self._guidance(xx, self.sde.T - t))
+            x = _corrected(self, x, t, dt, flag)
             return (x, key), None
 
         (x, key), _ = jax.lax.scan(body, (x, key), grid)
@@ -185,16 +173,6 @@ class EulerMaruyamaInpainter(Sampler):
         m_c = m_c * (1 - mask) + m_k * mask
         return join_xm(x_c, m_c)
 
-    def inpaint_update_fn(self, x, t, dt, mask, x_0, key, denoise=False):
-        k_step, k_perturb = jax.random.split(key)
-        x_new, x_mean = _em_update(self.sde, self.score_fn, x, t, dt, k_step,
-                                   denoise_only=denoise)
-        tv = jnp.full((x.shape[0],), self.sde.T - t, dtype=t.dtype)
-        u_k, mu_k = self._perturb(x_0, tv, k_perturb)
-        x_new = self._stitch(x_new, u_k, mask)
-        x_mean = self._stitch(x_mean, mu_k, mask)
-        return x_new, x_mean
-
     def sample(self, key, batch, ts, n_discrete_steps, denoise=True,
                eps=1e-3):
         del n_discrete_steps
@@ -215,14 +193,11 @@ class EulerMaruyamaInpainter(Sampler):
             x, key = carry
             t, dt, flag = inp
             key, k_step, k_perturb = jax.random.split(key, 3)
-            fl = flag.astype(x.dtype)
-            tv = jnp.broadcast_to(t, (x.shape[0],))
-            f, g = self.sde.reverse_sde(x, tv, self.score_fn)
-            dt_c = jnp.asarray(dt).astype(x.dtype)
-            noise = jax.random.normal(k_step, x.shape, x.dtype)
-            x = x + f * dt_c + fl * g * jnp.sqrt(dt_c) * noise
+            x, _ = _em_update(self.sde, self.score_fn, x, t, dt, k_step,
+                              flag)
             tvk = jnp.full((x.shape[0],), self.sde.T - t, dtype=t.dtype)
             u_k, mu_k = self._perturb(x_0, tvk, k_perturb)
+            fl = flag.astype(x.dtype)
             known = mu_k.astype(x.dtype) + fl * (u_k - mu_k).astype(x.dtype)
             x = self._stitch(x, known, mask)
             return (x, key), None
@@ -295,6 +270,5 @@ class SSCSSampler(Sampler):
         if denoise:
             x = _em_update(self.sde, self.score_fn, x,
                            jnp.asarray(self.sde.T - eps, ts.dtype),
-                           jnp.asarray(eps, ts.dtype), None,
-                           denoise_only=True)[0]
+                           jnp.asarray(eps, ts.dtype), None)[0]
         return x

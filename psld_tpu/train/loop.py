@@ -95,12 +95,8 @@ def train_sde(config, max_steps: int | None = None):
 
     mlog = profiling.MetricsLogger(f"{tcfg.results_dir}/metrics.jsonl")
     timer = profiling.StepTimer()
-    trace_dir = str(tcfg.get("profile_dir", "") or "")
-    profile_steps = int(tcfg.get("profile_steps", 10))
-    tracing = False
-    if trace_dir:
-        jax.profiler.start_trace(trace_dir)
-        tracing = True
+    btrace = profiling.BoundedTrace(str(tcfg.get("profile_dir", "") or ""),
+                                    int(tcfg.get("profile_steps", 10)))
 
     try:
         for epoch in range(start_epoch, int(tcfg.epochs)):
@@ -115,12 +111,9 @@ def train_sde(config, max_steps: int | None = None):
                 with timer.phase("step"):
                     state, metrics = step_fn(state, batch, rng)
                 total_steps += 1
-                if tracing and total_steps >= profile_steps:
-                    jax.block_until_ready(state.params)
-                    jax.profiler.stop_trace()
-                    tracing = False
+                if btrace.maybe_stop(total_steps, sync=state.params):
                     logger.info("profiler trace (%d steps): %s",
-                                total_steps, trace_dir)
+                                total_steps, btrace.log_dir)
                 if total_steps % log_step == 0:
                     last_loss = float(metrics["loss"])
                     mlog.log(total_steps, loss=last_loss,
@@ -141,10 +134,9 @@ def train_sde(config, max_steps: int | None = None):
             if max_steps is not None and total_steps >= max_steps:
                 break
     finally:
-        if tracing:
-            jax.profiler.stop_trace()
-    logger.info("timing: %s", timer.summary())
-    mlog.close()
+        btrace.stop()
+        logger.info("timing: %s", timer.summary())
+        mlog.close()
     return state
 
 

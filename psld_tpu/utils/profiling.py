@@ -86,3 +86,47 @@ def trace(log_dir: str | None):
         yield
     finally:
         jax.profiler.stop_trace()
+
+
+class BoundedTrace:
+    """jax.profiler capture of the first N steps of a loop (an unbounded
+    multi-epoch trace grows to GBs and is held in memory until stop).
+
+    Usage::
+
+        bt = BoundedTrace(log_dir, n_steps)   # starts if log_dir truthy
+        for ...: step(); bt.maybe_stop(total_steps, sync=state)
+        ...
+        finally: bt.stop()
+    """
+
+    def __init__(self, log_dir: str | None, n_steps: int):
+        self.log_dir = log_dir or None
+        self.n_steps = int(n_steps)
+        self.active = False
+        if self.log_dir:
+            import jax
+
+            jax.profiler.start_trace(self.log_dir)
+            self.active = True
+
+    def maybe_stop(self, step: int, sync=None) -> bool:
+        """Stop once ``step`` reaches the bound; returns True if it stopped
+        on this call. ``sync`` (any pytree) is block_until_ready'd first so
+        the trace contains completed device work."""
+        if not self.active or step < self.n_steps:
+            return False
+        import jax
+
+        if sync is not None:
+            jax.block_until_ready(sync)
+        jax.profiler.stop_trace()
+        self.active = False
+        return True
+
+    def stop(self):
+        if self.active:
+            import jax
+
+            jax.profiler.stop_trace()
+            self.active = False

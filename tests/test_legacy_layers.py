@@ -81,6 +81,15 @@ def test_residual_blocks():
     assert run(L.ResidualBlock(32), x).shape == (2, 8, 8, 32)
     assert run(L.ResidualBlock(32, resample="down"), x).shape == (2, 4, 4, 32)
     assert run(L.ResidualBlock(32, dilation=2), x).shape == (2, 8, 8, 32)
+    # non-default normalization factories must receive the channel count
+    # (reference layers.py:443-449)
+    from psld_tpu.models.normalization import InstanceNorm2dPlus, VarianceNorm2d
+
+    assert run(L.ResidualBlock(32, normalization=InstanceNorm2dPlus),
+               x).shape == (2, 8, 8, 32)
+    assert run(L.ResidualBlock(32, resample="down",
+                               normalization=VarianceNorm2d),
+               x).shape == (2, 4, 4, 32)
     y = jnp.asarray([0, 1])
     mod = L.ConditionalResidualBlock(32, num_classes=2, resample="down")
     params = mod.init(jax.random.PRNGKey(0), x, y)
