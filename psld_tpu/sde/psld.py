@@ -134,11 +134,20 @@ class PSLD(SDE):
         return self._exp_half_As(self.b_t(t))
 
     def _mean(self, x_0, m_0, t):
-        """Kernel mean (reference psld.py:62-84), NHWC with t shape [B]."""
+        """Kernel mean (reference psld.py:62-84), NHWC with t shape [B].
+
+        Coefficients are computed in the time dtype (f64 under x64) but
+        cast to x_0.dtype at the tensor edge -- otherwise the multiply
+        promotes the whole NHWC tensor to software-emulated f64 on TPU.
+        """
         e11, e12, e21, e22 = self.kernel_mean_coeff(t)
         nd = x_0.ndim
-        mu_x = bcast_right(e11, nd) * x_0 + bcast_right(e12, nd) * m_0
-        mu_m = bcast_right(e21, nd) * x_0 + bcast_right(e22, nd) * m_0
+
+        def c(v):
+            return bcast_right(v, nd).astype(x_0.dtype)
+
+        mu_x = c(e11) * x_0 + c(e12) * m_0
+        mu_m = c(e21) * x_0 + c(e22) * m_0
         return join_xm(mu_x, mu_m)
 
     def _cov_inhom(self, s):
