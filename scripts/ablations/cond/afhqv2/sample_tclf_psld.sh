@@ -1,15 +1,18 @@
 #!/bin/bash
-# TPU-native recipe mirroring the reference scripts_psld/ablations/cond/afhqv2/sample_tclf_psld.sh
-# (classifier-guided AFHQv2-128 generation with the cc_em_sde sampler).
-# Set DATA_ROOT / CHKPT_PATH / CLF_CHKPT_PATH / SAVE_PATH before running.
+# TPU-native recipe mirroring the reference scripts_psld/ablations/cond/afhqv2/sample_tclf_psld.sh (full override set).
+# Set DATA_ROOT / RESULTS_DIR / SAVE_PATH / CHKPT_PATH (and
+# CLF_CHKPT_PATH / MASK_PATH where applicable) before running.
 python -m psld_tpu.cli.class_cond_sample +dataset=afhqv2/afhqv2128_psld \
     dataset.diffusion.data.root=${DATA_ROOT} \
+    dataset.diffusion.data.name='afhqv2' \
+    dataset.diffusion.data.norm=True \
+    dataset.diffusion.data.hflip=True \
     dataset.diffusion.model.score_fn.in_ch=6 \
     dataset.diffusion.model.score_fn.out_ch=6 \
     dataset.diffusion.model.score_fn.nf=128 \
-    'dataset.diffusion.model.score_fn.ch_mult=[1,2,2,2,3]' \
+    dataset.diffusion.model.score_fn.ch_mult='[1,2,2,2,3]' \
     dataset.diffusion.model.score_fn.num_res_blocks=2 \
-    'dataset.diffusion.model.score_fn.attn_resolutions=[16]' \
+    dataset.diffusion.model.score_fn.attn_resolutions='[16]' \
     dataset.diffusion.model.score_fn.dropout=0.2 \
     dataset.diffusion.model.sde.beta_min=8.0 \
     dataset.diffusion.model.sde.beta_max=8.0 \
@@ -19,22 +22,23 @@ python -m psld_tpu.cli.class_cond_sample +dataset=afhqv2/afhqv2128_psld \
     dataset.diffusion.model.sde.decomp_mode='lower' \
     dataset.diffusion.evaluation.seed=0 \
     dataset.diffusion.evaluation.sample_prefix='tpu' \
-    dataset.diffusion.evaluation.path_prefix='1000' \
+    dataset.diffusion.evaluation.path_prefix="1000" \
     dataset.diffusion.evaluation.batch_size=1 \
     dataset.diffusion.evaluation.stride_type='uniform' \
     dataset.diffusion.evaluation.sample_from='target' \
+    dataset.diffusion.evaluation.workers=1 \
     dataset.diffusion.evaluation.chkpt_path=${CHKPT_PATH} \
-    dataset.diffusion.evaluation.sampler.name='cc_em_sde' \
+    dataset.diffusion.evaluation.sampler.name="cc_em_sde" \
     dataset.diffusion.evaluation.n_samples=32 \
     dataset.diffusion.evaluation.n_discrete_steps=1000 \
-    dataset.diffusion.evaluation.save_path=${SAVE_PATH} \
     dataset.clf.model.clf_fn.in_ch=6 \
     dataset.clf.model.clf_fn.nf=128 \
-    'dataset.clf.model.clf_fn.ch_mult=[1,2,3,4]' \
+    dataset.clf.model.clf_fn.ch_mult='[1,2,3,4]' \
     dataset.clf.model.clf_fn.num_res_blocks=4 \
-    'dataset.clf.model.clf_fn.attn_resolutions=[16,8]' \
+    dataset.clf.model.clf_fn.attn_resolutions='[16,8]' \
     dataset.clf.model.clf_fn.dropout=0.1 \
     dataset.clf.model.clf_fn.n_cls=3 \
     dataset.clf.evaluation.chkpt_path=${CLF_CHKPT_PATH} \
     dataset.clf.evaluation.clf_temp=10.0 \
-    dataset.clf.evaluation.label_to_sample=2
+    dataset.clf.evaluation.label_to_sample=2 \
+    dataset.diffusion.evaluation.save_path=${SAVE_PATH}

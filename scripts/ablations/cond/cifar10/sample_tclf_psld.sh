@@ -1,27 +1,47 @@
 #!/bin/bash
-# TPU-native recipe mirroring the reference scripts_psld/ablations/cond/cifar10/sample_tclf_psld.sh.
-# Set DATA_ROOT / RESULTS_DIR / SAVE_PATH / CHKPT_PATH (and CLF_CHKPT_PATH
-# for guided sampling) before running.
-python -m psld_tpu.cli.class_cond_sample +dataset=cifar10/cifar10_psld \
+# TPU-native recipe mirroring the reference scripts_psld/ablations/cond/cifar10/sample_tclf_psld.sh (full override set).
+# Set DATA_ROOT / RESULTS_DIR / SAVE_PATH / CHKPT_PATH (and
+# CLF_CHKPT_PATH / MASK_PATH where applicable) before running.
+python -m psld_tpu.cli.class_cond_sample +dataset=cifar10/cifar10_es3sde \
     dataset.diffusion.data.root=${DATA_ROOT} \
+    dataset.diffusion.data.name='cifar10' \
     dataset.diffusion.data.norm=True \
     dataset.diffusion.data.hflip=True \
-    dataset.diffusion.data.name='cifar10' \
+    dataset.diffusion.model.score_fn.in_ch=6 \
+    dataset.diffusion.model.score_fn.out_ch=6 \
+    dataset.diffusion.model.score_fn.nf=128 \
+    dataset.diffusion.model.score_fn.ch_mult='[2,2,2]' \
+    dataset.diffusion.model.score_fn.num_res_blocks=8 \
+    dataset.diffusion.model.score_fn.attn_resolutions='[16]' \
+    dataset.diffusion.model.score_fn.dropout=0.15 \
+    dataset.diffusion.model.score_fn.progressive_input='residual' \
+    dataset.diffusion.model.score_fn.fir=True \
+    dataset.diffusion.model.score_fn.embedding_type='fourier' \
+    dataset.diffusion.model.sde.beta_min=8.0 \
+    dataset.diffusion.model.sde.beta_max=8.0 \
     dataset.diffusion.model.sde.nu=4.01 \
     dataset.diffusion.model.sde.gamma=0.01 \
     dataset.diffusion.model.sde.kappa=0.04 \
+    dataset.diffusion.model.sde.decomp_mode='lower' \
     dataset.diffusion.evaluation.seed=0 \
     dataset.diffusion.evaluation.sample_prefix='tpu' \
-    dataset.diffusion.evaluation.save_path=${SAVE_PATH} \
-    dataset.diffusion.evaluation.batch_size=64 \
+    dataset.diffusion.evaluation.path_prefix="1000" \
+    dataset.diffusion.evaluation.batch_size=16 \
     dataset.diffusion.evaluation.stride_type='uniform' \
     dataset.diffusion.evaluation.sample_from='target' \
+    dataset.diffusion.evaluation.workers=1 \
     dataset.diffusion.evaluation.chkpt_path=${CHKPT_PATH} \
     dataset.diffusion.evaluation.sampler.name="cc_em_sde" \
-    dataset.diffusion.evaluation.n_samples=1000 \
+    dataset.diffusion.evaluation.n_samples=64 \
     dataset.diffusion.evaluation.n_discrete_steps=1000 \
-    dataset.clf.data.root=${DATA_ROOT} \
+    dataset.clf.model.clf_fn.in_ch=6 \
+    dataset.clf.model.clf_fn.nf=128 \
+    dataset.clf.model.clf_fn.ch_mult='[1,2,3,4]' \
+    dataset.clf.model.clf_fn.num_res_blocks=4 \
+    dataset.clf.model.clf_fn.attn_resolutions='[16,8]' \
+    dataset.clf.model.clf_fn.dropout=0.1 \
     dataset.clf.model.clf_fn.n_cls=10 \
     dataset.clf.evaluation.chkpt_path=${CLF_CHKPT_PATH} \
-    dataset.clf.evaluation.label_to_sample=0 \
-    dataset.clf.evaluation.clf_temp=1.0
+    dataset.clf.evaluation.clf_temp=5.0 \
+    dataset.clf.evaluation.label_to_sample=9 \
+    dataset.diffusion.evaluation.save_path=${SAVE_PATH}

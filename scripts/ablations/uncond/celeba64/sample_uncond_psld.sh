@@ -1,19 +1,34 @@
 #!/bin/bash
-# TPU-native recipe mirroring the reference scripts_psld/ablations/uncond/celeba64/sample_uncond_psld.sh.
-# Set DATA_ROOT / RESULTS_DIR / SAVE_PATH / CHKPT_PATH (and CLF_CHKPT_PATH
-# for guided sampling) before running.
+# TPU-native recipe mirroring the reference scripts_psld/ablations/uncond/celeba64/sample_uncond_psld.sh (full override set).
+# Set DATA_ROOT / RESULTS_DIR / SAVE_PATH / CHKPT_PATH (and
+# CLF_CHKPT_PATH / MASK_PATH where applicable) before running.
 python -m psld_tpu.cli.sample +dataset=celeba64/celeba64_psld \
     dataset.diffusion.data.root=${DATA_ROOT} \
+    dataset.diffusion.data.name='celeba64' \
     dataset.diffusion.data.norm=True \
     dataset.diffusion.data.hflip=True \
-    dataset.diffusion.data.name='celeba64' \
+    dataset.diffusion.model.score_fn.in_ch=6 \
+    dataset.diffusion.model.score_fn.out_ch=3 \
+    dataset.diffusion.model.score_fn.nf=128 \
+    dataset.diffusion.model.score_fn.ch_mult='[1,1,2,2,2]' \
+    dataset.diffusion.model.score_fn.num_res_blocks=4 \
+    dataset.diffusion.model.score_fn.attn_resolutions='[16]' \
+    dataset.diffusion.model.score_fn.dropout=0.1 \
+    dataset.diffusion.model.sde.beta_min=8.0 \
+    dataset.diffusion.model.sde.beta_max=8.0 \
+    dataset.diffusion.model.sde.nu=4.0 \
+    dataset.diffusion.model.sde.gamma=0.0 \
+    dataset.diffusion.model.sde.kappa=0.04 \
+    dataset.diffusion.model.sde.decomp_mode='lower' \
     dataset.diffusion.evaluation.seed=0 \
     dataset.diffusion.evaluation.sample_prefix='tpu' \
     dataset.diffusion.evaluation.save_path=${SAVE_PATH} \
-    dataset.diffusion.evaluation.batch_size=64 \
+    dataset.diffusion.evaluation.batch_size=6 \
     dataset.diffusion.evaluation.stride_type='uniform' \
     dataset.diffusion.evaluation.sample_from='target' \
+    dataset.diffusion.evaluation.workers=1 \
     dataset.diffusion.evaluation.chkpt_path=${CHKPT_PATH} \
-    dataset.diffusion.evaluation.sampler.name="em_sde" \
-    dataset.diffusion.evaluation.n_samples=50000 \
-    dataset.diffusion.evaluation.n_discrete_steps=1000
+    dataset.diffusion.evaluation.sampler.name="sscs_sde" \
+    dataset.diffusion.evaluation.n_samples=10000 \
+    dataset.diffusion.evaluation.n_discrete_steps=50 \
+    dataset.diffusion.evaluation.path_prefix='50'

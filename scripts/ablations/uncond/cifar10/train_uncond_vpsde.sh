@@ -1,17 +1,23 @@
 #!/bin/bash
-# TPU-native recipe mirroring the reference scripts_psld/ablations/uncond/cifar10/train_uncond_vpsde.sh.
-# Set DATA_ROOT / RESULTS_DIR / SAVE_PATH / CHKPT_PATH (and CLF_CHKPT_PATH
-# for guided sampling) before running.
+# TPU-native recipe mirroring the reference scripts_psld/ablations/uncond/cifar10/train_uncond_vpsde.sh (full override set).
+# Set DATA_ROOT / RESULTS_DIR / SAVE_PATH / CHKPT_PATH (and
+# CLF_CHKPT_PATH / MASK_PATH where applicable) before running.
 python -m psld_tpu.cli.train_sde +dataset=cifar10/cifar10_vpsde \
     dataset.diffusion.data.root=${DATA_ROOT} \
+    dataset.diffusion.data.name='cifar10' \
     dataset.diffusion.data.norm=True \
     dataset.diffusion.data.hflip=True \
-    dataset.diffusion.data.name='cifar10' \
+    dataset.diffusion.model.score_fn.in_ch=3 \
+    dataset.diffusion.model.score_fn.out_ch=3 \
+    dataset.diffusion.model.score_fn.nf=128 \
+    dataset.diffusion.model.score_fn.ch_mult='[1,2,2,2]' \
+    dataset.diffusion.model.score_fn.num_res_blocks=4 \
+    dataset.diffusion.model.score_fn.attn_resolutions='[16]' \
+    dataset.diffusion.model.score_fn.dropout=0.1 \
     dataset.diffusion.training.seed=0 \
-    dataset.diffusion.training.chkpt_interval=50 \
-    dataset.diffusion.training.mode='hsm' \
     dataset.diffusion.training.use_ema=True \
-    dataset.diffusion.training.batch_size=128 \
-    dataset.diffusion.training.epochs=500 \
+    dataset.diffusion.training.batch_size=32 \
+    dataset.diffusion.training.epochs=2000 \
     dataset.diffusion.training.results_dir=${RESULTS_DIR} \
-    dataset.diffusion.training.workers=1
+    dataset.diffusion.training.workers=1 \
+    dataset.diffusion.training.chkpt_prefix="dsm_ablation_cifar10_5thJan23"

@@ -1,18 +1,18 @@
 #!/bin/bash
-# TPU-native recipe mirroring the reference scripts_psld/sota/uncond/cifar10/train_uncond_psld.sh.
-# Set DATA_ROOT / RESULTS_DIR / SAVE_PATH / CHKPT_PATH (and CLF_CHKPT_PATH
-# for guided sampling) before running.
+# TPU-native recipe mirroring the reference scripts_psld/sota/uncond/cifar10/train_uncond_psld.sh (full override set).
+# Set DATA_ROOT / RESULTS_DIR / SAVE_PATH / CHKPT_PATH (and
+# CLF_CHKPT_PATH / MASK_PATH where applicable) before running.
 python -m psld_tpu.cli.train_sde +dataset=cifar10/cifar10_psld \
     dataset.diffusion.data.root=${DATA_ROOT} \
+    dataset.diffusion.data.name='cifar10' \
     dataset.diffusion.data.norm=True \
     dataset.diffusion.data.hflip=True \
-    dataset.diffusion.data.name='cifar10' \
     dataset.diffusion.model.score_fn.in_ch=6 \
     dataset.diffusion.model.score_fn.out_ch=6 \
     dataset.diffusion.model.score_fn.nf=128 \
-    dataset.diffusion.model.score_fn.ch_mult=[2,2,2] \
+    dataset.diffusion.model.score_fn.ch_mult='[2,2,2]' \
     dataset.diffusion.model.score_fn.num_res_blocks=8 \
-    dataset.diffusion.model.score_fn.attn_resolutions=[16] \
+    dataset.diffusion.model.score_fn.attn_resolutions='[16]' \
     dataset.diffusion.model.score_fn.dropout=0.15 \
     dataset.diffusion.model.score_fn.progressive_input='residual' \
     dataset.diffusion.model.score_fn.fir=True \
@@ -27,7 +27,8 @@ python -m psld_tpu.cli.train_sde +dataset=cifar10/cifar10_psld \
     dataset.diffusion.training.chkpt_interval=50 \
     dataset.diffusion.training.mode='hsm' \
     dataset.diffusion.training.use_ema=True \
-    dataset.diffusion.training.batch_size=128 \
+    dataset.diffusion.training.batch_size=16 \
     dataset.diffusion.training.epochs=2500 \
     dataset.diffusion.training.results_dir=${RESULTS_DIR} \
-    dataset.diffusion.training.workers=1
+    dataset.diffusion.training.workers=1 \
+    dataset.diffusion.training.chkpt_prefix="hsm_gamma=0.01_nu=4.01_cifar10_continuous_sfn=ncsnpp_3rdFeb"
