@@ -126,6 +126,29 @@ def test_em_psld_recovers_gaussian():
     np.testing.assert_allclose(x.std(), s0, rtol=6e-2)
 
 
+def test_em_psld_score_m_recovers_gaussian():
+    """gamma=0 (score_m mode, the AFHQ recipe): the net predicts only the
+    3-channel eps_m, get_score zero-fills the x half, and the x diffusion
+    g_x = sqrt(beta*gamma) = 0 makes the zero-fill exact. The sampler must
+    still transport the prior to the data marginal."""
+    cfg, sde = make_psld(nu=4.0, gamma=0.0, n_steps=200)
+    assert sde.mode == "score_m"
+    s0 = 0.7
+    full = psld_exact_score_fn(sde, s0)
+
+    def score_m_fn(z, t_phys):
+        return split_xm(full(z, t_phys))[1]  # model outputs eps_m only
+
+    sampler = EulerMaruyamaSampler(cfg, sde, score_m_fn)
+    ts = make_timesteps(199, 1e-3)
+    z = sde.prior_sampling(jax.random.PRNGKey(0), (N, 1, 1, 1))
+    out = jax.jit(lambda k, z: sampler.sample(k, z, ts, 199))(
+        jax.random.PRNGKey(1), z)
+    x = np.asarray(out)[..., 0].ravel()
+    np.testing.assert_allclose(x.mean(), 0.0, atol=3e-2)
+    np.testing.assert_allclose(x.std(), s0, rtol=6e-2)
+
+
 def test_sscs_psld_recovers_gaussian():
     cfg, sde = make_psld(n_steps=100, sampler_extra={"name": "sscs_sde"})
     s0 = 0.7
