@@ -20,18 +20,21 @@ def make_mesh(devices=None, axis_name: str = "data") -> Mesh:
     return Mesh(np.asarray(devices), (axis_name,))
 
 
-def batch_sharding(mesh: Mesh, axis_name: str = "data") -> NamedSharding:
-    """Shard the leading (batch) axis across the mesh."""
-    return NamedSharding(mesh, P(axis_name))
+def batch_sharding(mesh: Mesh, axis_name: str = "data",
+                   batch_axis: int = 0) -> NamedSharding:
+    """Shard the batch axis (by default the leading one) across the mesh."""
+    return NamedSharding(mesh, P(*((None,) * batch_axis), axis_name))
 
 
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def shard_batch(batch, mesh: Mesh, axis_name: str = "data"):
-    """Place a host array onto the mesh, sharded along the batch axis."""
-    sharding = batch_sharding(mesh, axis_name)
+def shard_batch(batch, mesh: Mesh, axis_name: str = "data",
+                batch_axis: int = 0):
+    """Place a host array onto the mesh, sharded along the batch axis
+    (``batch_axis=1`` for step-stacked [K, B, ...] multi-dispatch inputs)."""
+    sharding = batch_sharding(mesh, axis_name, batch_axis)
     return jax.tree_util.tree_map(
         lambda x: jax.device_put(x, sharding), batch
     )

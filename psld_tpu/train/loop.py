@@ -63,7 +63,21 @@ def train_sde(config, max_steps: int | None = None):
                    for p in jax.tree_util.tree_leaves(params))
     logger.info("score_fn: %.1fM params", n_params / 1e6)
 
-    step_fn, optimizer = make_train_step(net, sde, criterion, config)
+    # steps_per_dispatch > 1 runs K train steps per compiled dispatch via
+    # lax.scan (numerically equivalent to K single dispatches) -- on
+    # remote/tunneled runtimes per-dispatch latency otherwise dominates
+    spd = int(tcfg.get("steps_per_dispatch", 1))
+    if spd > 1:
+        from psld_tpu.train.steps import make_multi_train_step
+
+        step_fn, optimizer = make_multi_train_step(net, sde, criterion,
+                                                   config, spd)
+        # epoch tails smaller than the dispatch width fall back to this
+        single_fn, _ = make_train_step(net, sde, criterion, config,
+                                       donate=False)
+    else:
+        step_fn, optimizer = make_train_step(net, sde, criterion, config)
+        single_fn = step_fn
     state = init_state(params, optimizer)
 
     mesh = make_mesh()
@@ -104,17 +118,41 @@ def train_sde(config, max_steps: int | None = None):
             batches = iter(loader)
             while True:
                 with timer.phase("data"):
-                    batch = next(batches, None)
-                    if batch is None:
-                        break
-                    batch = shard_batch(jnp.asarray(batch), mesh)
+                    if spd > 1:
+                        chunk = []
+                        for _ in range(spd):
+                            b = next(batches, None)
+                            if b is None:
+                                break
+                            chunk.append(b)
+                        if not chunk:
+                            break
+                        batch = shard_batch(
+                            jnp.asarray(np.stack(chunk)), mesh,
+                            batch_axis=1)
+                        n_in = len(chunk)
+                    else:
+                        batch = next(batches, None)
+                        if batch is None:
+                            break
+                        batch = shard_batch(jnp.asarray(batch), mesh)
+                        n_in = 1
                 with timer.phase("step"):
-                    state, metrics = step_fn(state, batch, rng)
-                total_steps += 1
+                    if spd > 1 and n_in < spd:
+                        # epoch tail smaller than the dispatch width: run
+                        # the remaining steps through the single-step program
+                        for i in range(n_in):
+                            state, metrics = single_fn(state, batch[i], rng)
+                    else:
+                        state, metrics = step_fn(state, batch, rng)
+                total_steps += n_in
+                if spd > 1:
+                    metrics = {k: v[-1] if getattr(v, "ndim", 0) > 0 else v
+                               for k, v in metrics.items()}
                 if btrace.maybe_stop(total_steps, sync=state.params):
                     logger.info("profiler trace (%d steps): %s",
                                 total_steps, btrace.log_dir)
-                if total_steps % log_step == 0:
+                if total_steps % log_step < n_in:
                     last_loss = float(metrics["loss"])
                     mlog.log(total_steps, loss=last_loss,
                              grad_norm=float(metrics["grad_norm"]),

@@ -77,6 +77,32 @@ def make_train_step(net, sde, criterion, config,
     return jax.jit(step, donate_argnums=donate_argnums), optimizer
 
 
+def make_multi_train_step(net, sde, criterion, config, n_steps: int,
+                          donate: bool = True) -> Callable:
+    """``step(state, batches, rng) -> (state, metrics)`` running ``n_steps``
+    train steps in ONE compiled dispatch via ``lax.scan``.
+
+    ``batches`` stacks ``n_steps`` global batches on a new leading axis.
+    Numerically equivalent to ``n_steps`` sequential single-step dispatches
+    (same per-step RNG stream via ``fold_in(rng, state.step)``; params match
+    to XLA fusion-order ulps), but pays dispatch/tunnel latency once -- on
+    remote runtimes a single-step loop can spend more wall-clock on
+    round-trips than on compute. Metrics are scanned (shape [n_steps]).
+    """
+    single, optimizer = make_train_step(net, sde, criterion, config,
+                                        donate=False)
+
+    def step(state: TrainState, batches, rng):
+        def body(state, batch):
+            state, metrics = single(state, batch, rng)
+            return state, metrics
+
+        return jax.lax.scan(body, state, batches)
+
+    donate_argnums = (0,) if donate else ()
+    return jax.jit(step, donate_argnums=donate_argnums), optimizer
+
+
 def make_clf_train_step(net, sde, criterion, config,
                         donate: bool = True) -> Callable:
     """Classifier train step (reference clf_wrapper.py:61-75): automatic

@@ -76,6 +76,68 @@ def test_train_step_descends_and_counts():
     assert np.mean(losses[-5:]) < np.mean(losses[:5]) * 0.9, losses
 
 
+def test_multi_step_dispatch_matches_sequential():
+    """K steps in one lax.scan dispatch == K single dispatches: losses
+    bitwise-equal (same fold_in(rng, state.step) stream), params equal up
+    to XLA fusion-order ulps."""
+    from psld_tpu.train.steps import make_multi_train_step
+
+    cfg, sde, net, criterion, params = tiny_setup()
+    rng = jax.random.PRNGKey(3)
+    batches = jax.random.normal(jax.random.PRNGKey(2), (4, 8, 8, 8, 3),
+                                jnp.float32)
+
+    single_fn, opt = make_train_step(net, sde, criterion, cfg, donate=False)
+    s1 = init_state(params, opt)
+    losses_seq = []
+    for i in range(4):
+        s1, m = single_fn(s1, batches[i], rng)
+        losses_seq.append(float(m["loss"]))
+
+    multi_fn, opt2 = make_multi_train_step(net, sde, criterion, cfg, 4,
+                                           donate=False)
+    s2 = init_state(params, opt2)
+    s2, m2 = multi_fn(s2, batches, rng)
+
+    assert int(s2.step) == int(s1.step) == 4
+    np.testing.assert_array_equal(np.asarray(m2["loss"]),
+                                  np.asarray(losses_seq, np.float32))
+    for a, b in zip(jax.tree_util.tree_leaves(s1.params),
+                    jax.tree_util.tree_leaves(s2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-8)
+
+
+def test_train_loop_steps_per_dispatch_e2e(tmp_path):
+    """The loop runs with steps_per_dispatch > 1 (incl. the epoch tail that
+    is narrower than the dispatch width) and writes a checkpoint."""
+    import glob
+
+    from psld_tpu.config import compose
+    from psld_tpu.train.loop import train_sde
+
+    results = str(tmp_path / "results")
+    cfg = compose([
+        "+dataset=cifar10/cifar10_psld",
+        "dataset.diffusion.data.name=synthetic",
+        f"dataset.diffusion.data.root={tmp_path}",
+        "dataset.diffusion.data.image_size=16",
+        "dataset.diffusion.model.score_fn.nf=8",
+        "dataset.diffusion.model.score_fn.ch_mult=[1,2]",
+        "dataset.diffusion.model.score_fn.num_res_blocks=1",
+        "dataset.diffusion.model.score_fn.attn_resolutions=[8]",
+        "dataset.diffusion.training.batch_size=4",
+        "dataset.diffusion.training.epochs=1",
+        "dataset.diffusion.training.chkpt_interval=1",
+        "+dataset.diffusion.training.steps_per_dispatch=3",
+        f"dataset.diffusion.training.results_dir={results}",
+    ]).dataset.diffusion
+    # synthetic n=512 / global bs 32 = 16 steps: 5 full dispatches + 1 tail
+    state = train_sde(cfg, max_steps=7)
+    assert int(state.step) >= 7
+    assert glob.glob(f"{results}/checkpoints/psld-*")
+
+
 def test_ema_tracks_params():
     cfg, sde, net, criterion, params = tiny_setup()
     step_fn, optimizer = make_train_step(net, sde, criterion, cfg,
