@@ -196,7 +196,17 @@ def train_clf(config, max_steps: int | None = None):
     params = jax.jit(net.init)(jax.random.PRNGKey(seed), x,
                                jnp.full((2,), 0.5, jnp.float32))
 
-    step_fn, optimizer = make_clf_train_step(net, sde, criterion, config)
+    spd = int(tcfg.get("steps_per_dispatch", 1))
+    if spd > 1:
+        from psld_tpu.train.steps import make_multi_clf_train_step
+
+        step_fn, optimizer = make_multi_clf_train_step(net, sde, criterion,
+                                                       config, spd)
+        single_fn, _ = make_clf_train_step(net, sde, criterion, config,
+                                           donate=False)
+    else:
+        step_fn, optimizer = make_clf_train_step(net, sde, criterion, config)
+        single_fn = step_fn
     state = init_state(params, optimizer)
 
     mesh = make_mesh()
@@ -215,17 +225,48 @@ def train_clf(config, max_steps: int | None = None):
     rng = jax.random.PRNGKey(seed)
     ckpt_dir = f"{tcfg.results_dir}/checkpoints"
     total_steps = 0
+    metrics = {"loss": jnp.nan, "top1": jnp.nan}
     last = {"loss": float("nan"), "top1": float("nan")}
 
     for epoch in range(start_epoch, int(tcfg.epochs)):
-        for imgs, targets in loader:
-            x = shard_batch(jnp.asarray(imgs), mesh)
-            y = shard_batch(jnp.asarray(targets), mesh)
-            state, metrics = step_fn(state, x, y, rng)
-            total_steps += 1
-            last = {k: float(v) for k, v in metrics.items()}
+        pending = iter(loader)
+        while True:
+            if spd > 1:
+                chunk = []
+                for _ in range(spd):
+                    b = next(pending, None)
+                    if b is None:
+                        break
+                    chunk.append(b)
+                if not chunk:
+                    break
+                if len(chunk) == spd:
+                    xs = shard_batch(jnp.asarray(np.stack([c[0] for c in chunk])),
+                                     mesh, batch_axis=1)
+                    ys = shard_batch(jnp.asarray(np.stack([c[1] for c in chunk])),
+                                     mesh, batch_axis=1)
+                    state, metrics = step_fn(state, xs, ys, rng)
+                else:  # epoch tail narrower than the dispatch width
+                    for imgs, targets in chunk:
+                        x = shard_batch(jnp.asarray(imgs), mesh)
+                        y = shard_batch(jnp.asarray(targets), mesh)
+                        state, metrics = single_fn(state, x, y, rng)
+                total_steps += len(chunk)
+            else:
+                b = next(pending, None)
+                if b is None:
+                    break
+                imgs, targets = b
+                x = shard_batch(jnp.asarray(imgs), mesh)
+                y = shard_batch(jnp.asarray(targets), mesh)
+                state, metrics = step_fn(state, x, y, rng)
+                total_steps += 1
             if max_steps is not None and total_steps >= max_steps:
                 break
+        # materialize metrics once per epoch (a per-step float() would force
+        # a host sync every dispatch)
+        last = {k: float(v[-1]) if getattr(v, "ndim", 0) > 0 else float(v)
+                for k, v in metrics.items()}
         logger.info("epoch %d: loss=%.4f top1=%.3f", epoch, last["loss"],
                     last["top1"])
         if (epoch + 1) % int(tcfg.chkpt_interval) == 0 or (

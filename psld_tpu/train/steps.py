@@ -103,6 +103,26 @@ def make_multi_train_step(net, sde, criterion, config, n_steps: int,
     return jax.jit(step, donate_argnums=donate_argnums), optimizer
 
 
+def make_multi_clf_train_step(net, sde, criterion, config, n_steps: int,
+                              donate: bool = True) -> Callable:
+    """Classifier analogue of :func:`make_multi_train_step`:
+    ``step(state, xs, ys, rng)`` scans ``n_steps`` clf train steps in one
+    dispatch over step-stacked inputs."""
+    single, optimizer = make_clf_train_step(net, sde, criterion, config,
+                                            donate=False)
+
+    def step(state: TrainState, xs, ys, rng):
+        def body(state, batch):
+            x, y = batch
+            state, metrics = single(state, x, y, rng)
+            return state, metrics
+
+        return jax.lax.scan(body, state, (xs, ys))
+
+    donate_argnums = (0,) if donate else ()
+    return jax.jit(step, donate_argnums=donate_argnums), optimizer
+
+
 def make_clf_train_step(net, sde, criterion, config,
                         donate: bool = True) -> Callable:
     """Classifier train step (reference clf_wrapper.py:61-75): automatic
