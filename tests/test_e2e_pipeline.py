@@ -106,6 +106,47 @@ def test_sample_rk_ode(trained, workdir):
     assert len(glob.glob(f"{save}/images/*.png")) == 4
 
 
+def test_sample_from_online_weights(trained, workdir):
+    """evaluation.sample_from=source loads the online (non-EMA) params
+    (reference eval/sample.py:38-69)."""
+    from psld_tpu.eval.generate import sample
+    from psld_tpu.config import compose
+
+    results, ckpt_path, argv = trained
+    save = str(workdir / "samples_src")
+    cfg = compose(argv + [
+        f"dataset.diffusion.evaluation.chkpt_path={ckpt_path}",
+        f"dataset.diffusion.evaluation.save_path={save}",
+        "dataset.diffusion.evaluation.sample_from=source",
+        "dataset.diffusion.evaluation.n_samples=2",
+        "dataset.diffusion.evaluation.batch_size=2",
+    ])
+    assert sample(cfg.dataset.diffusion) == 2
+    assert len(glob.glob(f"{save}/images/*.png")) == 2
+
+
+def test_sample_bb_ode_host_loop(trained, workdir):
+    """generate's is_host_loop branch: SciPy adaptive RK45 with device
+    round-trips per RHS call (reference samplers/ode.py)."""
+    from psld_tpu.eval.generate import sample
+    from psld_tpu.config import compose
+
+    results, ckpt_path, argv = trained
+    save = str(workdir / "samples_bbode")
+    cfg = compose(argv + [
+        f"dataset.diffusion.evaluation.chkpt_path={ckpt_path}",
+        f"dataset.diffusion.evaluation.save_path={save}",
+        "dataset.diffusion.evaluation.sampler.name=bb_ode",
+        "+dataset.diffusion.evaluation.sampler.solver=RK45",
+        "+dataset.diffusion.evaluation.sampler.rtol=1e-2",
+        "+dataset.diffusion.evaluation.sampler.atol=1e-2",
+        "dataset.diffusion.evaluation.n_samples=2",
+        "dataset.diffusion.evaluation.batch_size=2",
+    ])
+    assert sample(cfg.dataset.diffusion) == 2
+    assert len(glob.glob(f"{save}/images/*.png")) == 2
+
+
 def test_inpaint_pipeline(trained, workdir):
     from psld_tpu.eval.generate import inpaint
     from psld_tpu.config import compose

@@ -162,14 +162,18 @@ def test_sscs_psld_recovers_gaussian():
     np.testing.assert_allclose(x.std(), s0, rtol=6e-2)
 
 
-def test_rk_ode_psld_recovers_gaussian():
-    cfg, sde = make_psld(n_steps=60, sampler_extra={"name": "rk_ode",
-                                                    "solver": "heun"})
+# euler is first-order: the beta=8 prob-flow ODE is stiff and needs ~1k
+# steps to reach the same tolerance heun hits at 60
+@pytest.mark.parametrize("solver,n_steps", [("euler", 1000), ("heun", 60),
+                                            ("rk4", 40)])
+def test_rk_ode_psld_recovers_gaussian(solver, n_steps):
+    cfg, sde = make_psld(n_steps=n_steps,
+                         sampler_extra={"name": "rk_ode", "solver": solver})
     s0 = 0.7
     sampler = RKODESampler(cfg, sde, psld_exact_score_fn(sde, s0))
-    ts = make_timesteps(59, 1e-3)
+    ts = make_timesteps(n_steps - 1, 1e-3)
     z = sde.prior_sampling(jax.random.PRNGKey(0), (N, 1, 1, 1))
-    out = jax.jit(lambda k, z: sampler.sample(k, z, ts, 59))(
+    out = jax.jit(lambda k, z: sampler.sample(k, z, ts, n_steps - 1))(
         jax.random.PRNGKey(1), z)
     x = np.asarray(out)[..., 0].ravel()
     np.testing.assert_allclose(x.std(), s0, rtol=6e-2)
