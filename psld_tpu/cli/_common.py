@@ -12,6 +12,11 @@ def bootstrap(argv=None):
     psld_tpu.enable_x64()
     psld_tpu.setup_cache()
     psld_tpu.import_modules_into_registry()
+    # join the multi-process runtime before anything touches the backend
+    # (no-op unless PSLD_MULTIHOST=1 / JAX_COORDINATOR_ADDRESS is set)
+    from psld_tpu.parallel.distributed import maybe_initialize
+
+    maybe_initialize()
     logging.basicConfig(
         level=logging.INFO,
         format="%(asctime)s %(name)s %(levelname)s: %(message)s",

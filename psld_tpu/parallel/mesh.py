@@ -33,15 +33,34 @@ def replicated(mesh: Mesh) -> NamedSharding:
 def shard_batch(batch, mesh: Mesh, axis_name: str = "data",
                 batch_axis: int = 0):
     """Place a host array onto the mesh, sharded along the batch axis
-    (``batch_axis=1`` for step-stacked [K, B, ...] multi-dispatch inputs)."""
+    (``batch_axis=1`` for step-stacked [K, B, ...] multi-dispatch inputs).
+
+    Multi-host: each process passes only its local slice of the global
+    batch (see ``distributed.local_batch_slice``); the slices are assembled
+    into one global array without cross-host transfers."""
     sharding = batch_sharding(mesh, axis_name, batch_axis)
+    if jax.process_count() > 1:
+        return jax.tree_util.tree_map(
+            lambda x: jax.make_array_from_process_local_data(
+                sharding, np.asarray(x)),
+            batch,
+        )
     return jax.tree_util.tree_map(
         lambda x: jax.device_put(x, sharding), batch
     )
 
 
 def replicate(tree, mesh: Mesh):
+    """Replicate a (host-identical) pytree across the mesh. Multi-host:
+    every process holds the full value (same-seed init / same checkpoint),
+    so the fully-replicated global array is assembled process-locally."""
     sharding = replicated(mesh)
+    if jax.process_count() > 1:
+        return jax.tree_util.tree_map(
+            lambda x: jax.make_array_from_process_local_data(
+                sharding, np.asarray(x)),
+            tree,
+        )
     return jax.tree_util.tree_map(
         lambda x: jax.device_put(x, sharding), tree
     )

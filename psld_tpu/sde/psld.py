@@ -46,6 +46,7 @@ import numpy as np
 
 from psld_tpu.registry import register_module
 from psld_tpu.sde.base import SDE
+from psld_tpu.utils.debug import check_finite
 from psld_tpu.utils.numerics import bcast_right, ou_weight_integrals, time_dtype
 
 
@@ -207,31 +208,38 @@ class PSLD(SDE):
         """Triangular factor of the 2x2 kernel covariance (psld.py:154-186).
 
         lower: Cholesky L with Sigma = L L^T; upper: U with Sigma = U U^T.
-        Returns (c11, c12, c21, c22) per-batch scalars.
+        Returns (c11, c12, c21, c22) per-batch scalars. With
+        PSLD_DEBUG_NUMERICS=1 the factors carry the reference's NaN guards
+        (psld.py:167-171, 180-185) as compiled checkify checks.
         """
         xx, xm, mm = var
         if self.decomp_mode == "lower":
             l11 = jnp.sqrt(xx)
             l21 = xm / l11
             l22 = jnp.sqrt(mm - l21 * l21)
+            check_finite("PSLD.get_coeff (lower)", l11, l21, l22)
             return l11, jnp.zeros_like(l11), l21, l22
         u22 = jnp.sqrt(mm)
         u12 = xm / u22
         u11 = jnp.sqrt(xx - u12 * u12)
+        check_finite("PSLD.get_coeff (upper)", u11, u12, u22)
         return u11, u12, jnp.zeros_like(u22), u22
 
     def get_inv_coeff(self, var):
-        """Inverse-transpose of the factor (psld.py:188-220)."""
+        """Inverse-transpose of the factor (psld.py:188-220); NaN guards
+        (psld.py:200-205, 214-219) compiled in under PSLD_DEBUG_NUMERICS=1."""
         xx, xm, mm = var
         det = xx * mm - xm * xm
         if self.decomp_mode == "lower":
             li11 = jax.lax.rsqrt(xx)
             li12 = -xm / (jnp.sqrt(xx) * jnp.sqrt(det))
             li22 = jnp.sqrt(xx / det)
+            check_finite("PSLD.get_inv_coeff (lower)", li11, li12, li22)
             return li11, li12, jnp.zeros_like(li11), li22
         ui22 = jax.lax.rsqrt(mm)
         ui21 = -xm / (jnp.sqrt(mm) * jnp.sqrt(det))
         ui11 = jnp.sqrt(mm / det)
+        check_finite("PSLD.get_inv_coeff (upper)", ui11, ui21, ui22)
         return ui11, jnp.zeros_like(ui11), ui21, ui22
 
     def cond_marginal_prob(self, x_0, m_0, xx_0, mm_0, t):

@@ -94,8 +94,10 @@ def train_sde(config, max_steps: int | None = None):
 
     n_devices = mesh.devices.size
     global_bs = int(tcfg.batch_size) * n_devices
+    proc_idx, proc_count = jax.process_index(), jax.process_count()
     loader = EpochLoader(dataset, global_bs, shuffle=True, drop_last=True,
-                         hflip=bool(config.data.hflip), seed=seed)
+                         hflip=bool(config.data.hflip), seed=seed,
+                         process_index=proc_idx, process_count=proc_count)
     rng = jax.random.PRNGKey(seed)
     ckpt_dir = f"{tcfg.results_dir}/checkpoints"
     log_step = int(tcfg.log_step)
@@ -107,11 +109,16 @@ def train_sde(config, max_steps: int | None = None):
     # profile_steps steps (an unbounded multi-epoch trace would grow to GBs)
     from psld_tpu.utils import profiling
 
-    mlog = profiling.MetricsLogger(f"{tcfg.results_dir}/metrics.jsonl")
+    # one metrics stream per run: only process 0 writes (multi-host)
+    mlog = profiling.MetricsLogger(
+        f"{tcfg.results_dir}/metrics.jsonl" if proc_idx == 0 else "")
     timer = profiling.StepTimer()
     btrace = profiling.BoundedTrace(str(tcfg.get("profile_dir", "") or ""),
                                     int(tcfg.get("profile_steps", 10)))
 
+    from psld_tpu.train.interrupt import GracefulShutdown
+
+    stop = GracefulShutdown().install()
     try:
         for epoch in range(start_epoch, int(tcfg.epochs)):
             t_epoch = time.time()
@@ -157,21 +164,28 @@ def train_sde(config, max_steps: int | None = None):
                     mlog.log(total_steps, loss=last_loss,
                              grad_norm=float(metrics["grad_norm"]),
                              epoch=epoch)
-                if max_steps is not None and total_steps >= max_steps:
+                if stop.requested or (
+                        max_steps is not None and total_steps >= max_steps):
                     break
             logger.info("epoch %d: loss=%.4f (%.1fs)", epoch, last_loss,
                         time.time() - t_epoch)
-            if (epoch + 1) % int(tcfg.chkpt_interval) == 0 or (
-                    max_steps is not None and total_steps >= max_steps):
+            if stop.requested or (epoch + 1) % int(tcfg.chkpt_interval) == 0 \
+                    or (max_steps is not None and total_steps >= max_steps):
                 with timer.phase("ckpt"):
                     name = ckpt.checkpoint_name(sde.type,
                                                 str(tcfg.chkpt_prefix),
                                                 epoch, last_loss)
                     path = ckpt.save_checkpoint(ckpt_dir, name, state)
                 logger.info("checkpoint: %s", path)
-            if max_steps is not None and total_steps >= max_steps:
+            if stop.requested or (
+                    max_steps is not None and total_steps >= max_steps):
+                if stop.requested:
+                    logger.warning(
+                        "graceful shutdown: checkpointed at epoch %d "
+                        "(step %d)", epoch, total_steps)
                 break
     finally:
+        stop.uninstall()
         btrace.stop()
         logger.info("timing: %s", timer.summary())
         mlog.close()
@@ -221,7 +235,9 @@ def train_clf(config, max_steps: int | None = None):
 
     global_bs = int(tcfg.batch_size) * mesh.devices.size
     loader = EpochLoader(dataset, global_bs, shuffle=True, drop_last=True,
-                         hflip=bool(ccfg.data.hflip), seed=seed)
+                         hflip=bool(ccfg.data.hflip), seed=seed,
+                         process_index=jax.process_index(),
+                         process_count=jax.process_count())
     rng = jax.random.PRNGKey(seed)
     ckpt_dir = f"{tcfg.results_dir}/checkpoints"
     total_steps = 0

@@ -225,3 +225,20 @@ def test_checkpoint_resume(trained, workdir):
     cfg.dataset.diffusion.training.results_dir = results2
     state = train_sde(cfg.dataset.diffusion, max_steps=2)
     assert int(state.step) == 8  # 6 from first run + 2 resumed
+
+
+def test_likelihood_from_checkpoint(trained):
+    """evaluate_nll: checkpoint -> PF-ODE bits/dim on the synthetic set
+    (augmented PSLD path -> variational bound)."""
+    from psld_tpu.config import compose
+    from psld_tpu.eval.likelihood import evaluate_nll
+
+    results, ckpt_path, argv = trained
+    cfg = compose(argv + [
+        f"dataset.diffusion.evaluation.chkpt_path={ckpt_path}",
+        "dataset.diffusion.evaluation.batch_size=1",
+        "+dataset.diffusion.evaluation.likelihood.n_steps=4",
+        "+dataset.diffusion.evaluation.likelihood.solver=heun",
+    ])
+    bpd = evaluate_nll(cfg.dataset.diffusion, max_batches=1)
+    assert np.isfinite(bpd)
