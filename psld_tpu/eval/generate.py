@@ -66,17 +66,24 @@ def _run_sampler(config, sde, sampler_factory, params, writer, batch_source,
 
     sampler_name = str(ecfg.sampler.name)
     is_host_loop = sampler_name == "bb_ode"
+    reports_nfe = sampler_name == "adaptive_ode"
     if is_host_loop:
         sampler = sampler_factory(params)
     else:
         def _run(params, k, b):
-            return sampler_factory(params).sample(
+            s = sampler_factory(params)
+            if reports_nfe:
+                # on-device adaptive solve: the NFE counter rides the carry
+                return s.sample_with_nfe(k, b, denoise=denoise,
+                                         eps=float(ecfg.eval_eps))
+            return s.sample(
                 k, b, ts, n_eff, denoise=denoise, eps=float(ecfg.eval_eps))
 
         sample_jit = jax.jit(_run)
 
     written = 0
     batch_idx = 0
+    total_nfe = 0
     while written < n_samples:
         bs = min(per_step, n_samples - written)
         k_batch = jax.random.fold_in(key, batch_idx)
@@ -88,6 +95,9 @@ def _run_sampler(config, sde, sampler_factory, params, writer, batch_source,
                                  eps=float(ecfg.eval_eps))
         else:
             out = sample_jit(params, k_batch, batch)
+            if reports_nfe:
+                out, nfe = out
+                total_nfe += int(nfe)
         out_np = np.asarray(out)
         if write_extra_batch:
             writer.write_batch(out_np, rank=0, batch_idx=batch_idx,
@@ -100,6 +110,8 @@ def _run_sampler(config, sde, sampler_factory, params, writer, batch_source,
             logger.info("sampled %d / %d", written, n_samples)
     if is_host_loop:
         logger.info("bb_ode mean NFE: %.1f", sampler.mean_nfe)
+    if reports_nfe and batch_idx:
+        logger.info("adaptive_ode mean NFE: %.1f", total_nfe / batch_idx)
     return written
 
 

@@ -11,6 +11,10 @@ Two implementations with the reference's single ``bb_ode``'s capability
 * ``rk_ode`` -- TPU-native fixed-grid Runge--Kutta (heun/rk4) compiled into a
   single ``lax.scan``: zero host sync, deterministic NFE = order * steps.
   This is the fast path for FID-at-low-NFE studies.
+* ``adaptive_ode`` -- TPU-native adaptive Dormand--Prince RK45 (the same
+  5(4) pair and step-size controller as SciPy's ``RK45``) compiled into a
+  single ``lax.while_loop``: the reference's adaptive capability with zero
+  host sync per step. NFE is carried on device and reported per batch.
 """
 
 from __future__ import annotations
@@ -87,6 +91,178 @@ class BBODESampler(Sampler):
             x = self.denoise_fn(x, self.sde.T - eps, eps)
             self.nfe += 1
         return x
+
+
+# Dormand--Prince 5(4) tableau (the classic RK45 pair; FSAL: the 7th stage
+# equals the first stage of the next step). E = b5 - b4 gives the embedded
+# error estimate directly.
+_DP_C = np.array([0.0, 1 / 5, 3 / 10, 4 / 5, 8 / 9, 1.0, 1.0])
+_DP_A = np.zeros((7, 7))
+_DP_A[1, :1] = [1 / 5]
+_DP_A[2, :2] = [3 / 40, 9 / 40]
+_DP_A[3, :3] = [44 / 45, -56 / 15, 32 / 9]
+_DP_A[4, :4] = [19372 / 6561, -25360 / 2187, 64448 / 6561, -212 / 729]
+_DP_A[5, :5] = [9017 / 3168, -355 / 33, 46732 / 5247, 49 / 176,
+                -5103 / 18656]
+_DP_A[6, :6] = [35 / 384, 0.0, 500 / 1113, 125 / 192, -2187 / 6784, 11 / 84]
+_DP_B5 = np.array([35 / 384, 0.0, 500 / 1113, 125 / 192, -2187 / 6784,
+                   11 / 84, 0.0])
+_DP_E = np.array([71 / 57600, 0.0, -71 / 16695, 71 / 1920, -17253 / 339200,
+                  22 / 525, -1 / 40])
+
+
+@register_module(category="samplers", name="adaptive_ode")
+class AdaptiveODESampler(Sampler):
+    """On-device adaptive probability-flow ODE solve (TPU-native extension).
+
+    Same capability as ``bb_ode`` (reference samplers/ode.py:8-76) without
+    the host-bound SciPy loop: Dormand--Prince 5(4) with SciPy's RK45
+    error norm (RMS of err / (atol + rtol * max(|y|, |y_new|))) and step
+    controller (safety 0.9, factor clipped to [0.2, 10]), compiled into one
+    ``lax.while_loop``. The seven stages run through a ``lax.scan`` over the
+    Butcher tableau so the program contains a SINGLE network instance
+    (compile time stays flat vs the 97M-param U-Net). Fully jittable;
+    ``sample_with_nfe`` additionally returns the on-device NFE counter.
+    """
+
+    MAX_FACTOR = 10.0
+    MIN_FACTOR = 0.2
+    SAFETY = 0.9
+
+    def __init__(self, config, sde, score_fn, corrector_fn=None):
+        super().__init__(config, sde, score_fn, corrector_fn=corrector_fn)
+        scfg = config.evaluation.sampler
+        self.rtol = float(scfg.rtol)
+        self.atol = float(scfg.atol)
+        self.max_steps = int(scfg.get("max_steps", 100_000))
+        solver = str(scfg.get("solver", "RK45"))
+        assert solver in ("RK45", "dopri5"), solver
+        self.nfe = 0
+        self._counter = 0
+
+    @property
+    def mean_nfe(self) -> float:
+        if self._counter == 0:
+            raise ValueError("Run .sample() to compute mean_nfe")
+        return self.nfe / self._counter
+
+    def _drift(self, x, t):
+        tv = jnp.broadcast_to(jnp.asarray(t), (x.shape[0],))
+        f, _ = self.sde.reverse_sde(x, tv, self.score_fn,
+                                    probability_flow=True)
+        return f
+
+    def _error_norm(self, err, y_old, y_new):
+        scale = self.atol + self.rtol * jnp.maximum(jnp.abs(y_old),
+                                                    jnp.abs(y_new))
+        norm = jnp.sqrt(jnp.mean(jnp.square(err / scale)))
+        # a NaN state (diverged trajectory) must read as "reject, shrink"
+        # rather than poisoning the step size into an infinite loop
+        return jnp.where(jnp.isnan(norm), jnp.inf, norm)
+
+    def _initial_step(self, y0, f0, t0, t_end):
+        """SciPy's ``_select_initial_step`` heuristic (order p=4): costs one
+        extra drift evaluation, keeps NFE comparable with the reference."""
+        tdt = t0.dtype
+
+        def rms(v):
+            return jnp.sqrt(jnp.mean(jnp.square(v))).astype(tdt)
+
+        scale = self.atol + self.rtol * jnp.abs(y0)
+        d0 = rms(y0 / scale)
+        d1 = rms(f0 / scale)
+        h0 = jnp.where((d0 < 1e-5) | (d1 < 1e-5), 1e-6, 0.01 * d0 / d1)
+        # clamp the probe INSIDE the integration interval: the score (and
+        # hence the drift) diverges at the t_phys -> 0 endpoint, and an
+        # overshooting probe would poison the step size with NaN
+        h0 = jnp.minimum(h0, 0.5 * (t_end - t0))
+        y1 = y0 + h0.astype(y0.dtype) * f0
+        f1 = self._drift(y1, t0 + h0)
+        d2 = rms((f1 - f0) / scale) / h0
+        h1 = jnp.where(
+            jnp.maximum(d1, d2) <= 1e-15,
+            jnp.maximum(jnp.asarray(1e-6, tdt), h0 * 1e-3),
+            (0.01 / jnp.maximum(d1, d2)) ** 0.2,
+        )
+        h = jnp.minimum(jnp.minimum(100 * h0, h1), t_end - t0)
+        # a non-finite probe (diverged f1) must not stall the solve
+        return jnp.where(jnp.isfinite(h), h, (t_end - t0) * 1e-3)
+
+    def sample_with_nfe(self, key, batch, denoise=True, eps=1e-3):
+        del key
+        y = batch
+        tdt = time_dtype()
+        a = jnp.asarray(_DP_A, tdt)
+        c = jnp.asarray(_DP_C, tdt)
+        b5 = jnp.asarray(_DP_B5, tdt)
+        e = jnp.asarray(_DP_E, tdt)
+
+        t0 = jnp.asarray(0.0, tdt)
+        t_end = jnp.asarray(self.sde.T - eps, tdt)
+        f0 = self._drift(y, t0)
+        h = self._initial_step(y, f0, t0, t_end)
+        nfe0 = jnp.asarray(2, jnp.int32)  # f0 + the initial-step probe
+
+        def cond(carry):
+            y, k1, t, h, nfe, steps = carry
+            return (t < t_end) & (steps < self.max_steps)
+
+        def body(carry):
+            y, k1, t, h, nfe, steps = carry
+            h_c = jnp.minimum(h, t_end - t)
+
+            ks0 = jnp.zeros((7,) + y.shape, y.dtype).at[0].set(k1)
+
+            def stage(ks, inp):
+                i, a_row, c_i = inp
+                dy = jnp.tensordot(a_row.astype(y.dtype), ks, axes=1)
+                yi = y + h_c.astype(y.dtype) * dy
+                fi = self._drift(yi, t + c_i * h_c)
+                return ks.at[i].set(fi), None
+
+            idx = jnp.arange(1, 7)
+            ks, _ = jax.lax.scan(stage, ks0, (idx, a[1:], c[1:]))
+
+            y_new = y + h_c.astype(y.dtype) * jnp.tensordot(
+                b5.astype(y.dtype), ks, axes=1)
+            err = h_c.astype(y.dtype) * jnp.tensordot(
+                e.astype(y.dtype), ks, axes=1)
+            norm = self._error_norm(err, y, y_new)
+
+            accept = norm <= 1.0
+            raw = self.SAFETY * norm ** -0.2
+            factor = jnp.where(
+                norm == 0.0,
+                self.MAX_FACTOR,
+                jnp.where(accept,
+                          jnp.minimum(self.MAX_FACTOR, raw),
+                          jnp.maximum(self.MIN_FACTOR, raw)),
+            )
+            h_next = h_c * factor.astype(tdt)
+
+            y = jnp.where(accept, y_new, y)
+            k1 = jnp.where(accept, ks[6], k1)  # FSAL
+            t = jnp.where(accept, t + h_c, t)
+            return (y, k1, t, h_next, nfe + 6, steps + 1)
+
+        steps0 = jnp.asarray(0, jnp.int32)
+        y, _, _, _, nfe, _ = jax.lax.while_loop(
+            cond, body, (y, f0, t0, h, nfe0, steps0))
+
+        if denoise:
+            dt_c = jnp.asarray(eps, y.dtype)
+            y = y + self._drift(y, t_end) * dt_c
+            nfe = nfe + 1
+        return y, nfe
+
+    def sample(self, key, batch, ts, n_discrete_steps, denoise=True,
+               eps=1e-3):
+        del ts, n_discrete_steps
+        y, nfe = self.sample_with_nfe(key, batch, denoise=denoise, eps=eps)
+        if not isinstance(nfe, jax.core.Tracer):
+            self.nfe += int(nfe)
+            self._counter += 1
+        return y
 
 
 @register_module(category="samplers", name="rk_ode")

@@ -49,7 +49,19 @@ def init_score_params(net, config, seed: int):
 
 
 def train_sde(config, max_steps: int | None = None):
-    """Unconditional score training (reference train_sde.py:21-120)."""
+    """Unconditional score training (reference train_sde.py:21-120).
+
+    The shutdown handler is installed before any model build or compile so
+    a preemption signal delivered during the (possibly minutes-long) first
+    compilation still leads to a clean, resumable exit.
+    """
+    from psld_tpu.train.interrupt import GracefulShutdown
+
+    with GracefulShutdown() as stop:
+        return _train_sde(config, stop, max_steps)
+
+
+def _train_sde(config, stop, max_steps: int | None = None):
     tcfg = config.training
     seed = int(tcfg.seed)
 
@@ -116,9 +128,6 @@ def train_sde(config, max_steps: int | None = None):
     btrace = profiling.BoundedTrace(str(tcfg.get("profile_dir", "") or ""),
                                     int(tcfg.get("profile_steps", 10)))
 
-    from psld_tpu.train.interrupt import GracefulShutdown
-
-    stop = GracefulShutdown().install()
     try:
         for epoch in range(start_epoch, int(tcfg.epochs)):
             t_epoch = time.time()
@@ -185,7 +194,6 @@ def train_sde(config, max_steps: int | None = None):
                         "(step %d)", epoch, total_steps)
                 break
     finally:
-        stop.uninstall()
         btrace.stop()
         logger.info("timing: %s", timer.summary())
         mlog.close()
@@ -193,7 +201,18 @@ def train_sde(config, max_steps: int | None = None):
 
 
 def train_clf(config, max_steps: int | None = None):
-    """Noise-conditional classifier training (reference train_clf.py:22-109)."""
+    """Noise-conditional classifier training (reference train_clf.py:22-109).
+
+    Preemption-safe like :func:`train_sde`: SIGTERM/SIGINT checkpoints at
+    the next step boundary and exits cleanly.
+    """
+    from psld_tpu.train.interrupt import GracefulShutdown
+
+    with GracefulShutdown() as stop:
+        return _train_clf(config, stop, max_steps)
+
+
+def _train_clf(config, stop, max_steps: int | None = None):
     ccfg = config.clf
     tcfg = ccfg.training
     seed = int(tcfg.seed)
@@ -277,7 +296,8 @@ def train_clf(config, max_steps: int | None = None):
                 y = shard_batch(jnp.asarray(targets), mesh)
                 state, metrics = step_fn(state, x, y, rng)
                 total_steps += 1
-            if max_steps is not None and total_steps >= max_steps:
+            if stop.requested or (
+                    max_steps is not None and total_steps >= max_steps):
                 break
         # materialize metrics once per epoch (a per-step float() would force
         # a host sync every dispatch)
@@ -285,11 +305,16 @@ def train_clf(config, max_steps: int | None = None):
                 for k, v in metrics.items()}
         logger.info("epoch %d: loss=%.4f top1=%.3f", epoch, last["loss"],
                     last["top1"])
-        if (epoch + 1) % int(tcfg.chkpt_interval) == 0 or (
+        if stop.requested or (epoch + 1) % int(tcfg.chkpt_interval) == 0 or (
                 max_steps is not None and total_steps >= max_steps):
             name = ckpt.checkpoint_name("clf", str(tcfg.chkpt_prefix), epoch,
                                         last["loss"])
             ckpt.save_checkpoint(ckpt_dir, name, state)
-        if max_steps is not None and total_steps >= max_steps:
+        if stop.requested or (
+                max_steps is not None and total_steps >= max_steps):
+            if stop.requested:
+                logger.warning(
+                    "graceful shutdown: checkpointed at epoch %d (step %d)",
+                    epoch, total_steps)
             break
     return state

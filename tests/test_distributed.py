@@ -120,14 +120,29 @@ def test_sigterm_mid_training_checkpoints_and_resumes(tmp_path):
         "dataset.diffusion.training.chkpt_interval=1000",
     ]).dataset.diffusion
 
-    # fire SIGTERM shortly after training starts; the loop must notice at a
-    # step boundary, checkpoint, and return (not raise)
-    killer = threading.Timer(3.0, os.kill, (os.getpid(), signal.SIGTERM))
+    # fire SIGTERM only once the GracefulShutdown handler is observably
+    # installed -- a fixed delay races against model-build/compile time and,
+    # on a loss, the default action kills the whole pytest process
+    prev_handler = signal.getsignal(signal.SIGTERM)
+    fired = threading.Event()
+
+    def _kill_when_armed():
+        deadline = time.time() + 300.0
+        while time.time() < deadline and not fired.is_set():
+            if signal.getsignal(signal.SIGTERM) is not prev_handler:
+                os.kill(os.getpid(), signal.SIGTERM)
+                fired.set()
+                return
+            time.sleep(0.02)
+
+    killer = threading.Thread(target=_kill_when_armed, daemon=True)
     killer.start()
     try:
         train_sde(cfg)
+        assert fired.is_set(), "SIGTERM was never delivered"
     finally:
-        killer.cancel()
+        fired.set()
+        killer.join(timeout=5.0)
     ckpts = glob.glob(f"{results}/checkpoints/psld-*")
     assert len(ckpts) == 1, ckpts
 

@@ -19,7 +19,11 @@ from psld_tpu.samplers.sde_samplers import (
     EulerMaruyamaSampler,
     SSCSSampler,
 )
-from psld_tpu.samplers.ode import BBODESampler, RKODESampler
+from psld_tpu.samplers.ode import (
+    AdaptiveODESampler,
+    BBODESampler,
+    RKODESampler,
+)
 from psld_tpu.sde.psld import PSLD, split_xm
 from psld_tpu.sde.vpsde import VPSDE
 from psld_tpu.utils.numerics import bcast_right
@@ -190,6 +194,56 @@ def test_bb_ode_vpsde_and_nfe():
     assert sampler.mean_nfe == sampler.nfe
     out = np.asarray(out).ravel()
     np.testing.assert_allclose(out.std(), s0, rtol=6e-2)
+
+
+def test_adaptive_ode_psld_recovers_gaussian():
+    cfg, sde = make_psld(sampler_extra={"name": "adaptive_ode",
+                                        "rtol": 1e-4, "atol": 1e-4})
+    s0 = 0.7
+    sampler = AdaptiveODESampler(cfg, sde, psld_exact_score_fn(sde, s0))
+    z = sde.prior_sampling(jax.random.PRNGKey(0), (N, 1, 1, 1))
+    out, nfe = jax.jit(
+        lambda k, z: sampler.sample_with_nfe(k, z))(jax.random.PRNGKey(1), z)
+    x = np.asarray(out)[..., 0].ravel()
+    np.testing.assert_allclose(x.std(), s0, rtol=6e-2)
+    assert 20 < int(nfe) < 10_000
+
+
+def test_adaptive_ode_matches_scipy_rk45():
+    """The on-device dopri5 must agree with bb_ode's SciPy RK45 on the same
+    deterministic probability-flow trajectory at matched tolerances, with a
+    comparable NFE (same method, same controller)."""
+    extra = {"solver": "RK45", "rtol": 1e-4, "atol": 1e-4}
+    cfg_bb, sde = make_vpsde(sampler_extra=dict(extra, name="bb_ode"))
+    cfg_ad, _ = make_vpsde(sampler_extra=dict(extra, name="adaptive_ode"))
+    s0 = 0.5
+    score = vpsde_exact_score_fn(sde, s0)
+    x = sde.prior_sampling(jax.random.PRNGKey(0), (256, 1, 1, 1))
+
+    bb = BBODESampler(cfg_bb, sde, score)
+    ref = np.asarray(bb.sample(None, x, None, None))
+
+    ad = AdaptiveODESampler(cfg_ad, sde, score)
+    out = np.asarray(ad.sample(None, x, None, None))
+
+    # f32-on-device vs f64-on-host with adaptive grids: agreement bounded by
+    # the global error at rtol=1e-4, not bit equality
+    np.testing.assert_allclose(out, ref, atol=5e-3)
+    assert ad._counter == 1
+    assert 0.5 < ad.mean_nfe / bb.mean_nfe < 2.0
+
+
+def test_adaptive_ode_nfe_accounting_unjitted():
+    cfg, sde = make_vpsde(sampler_extra={"name": "adaptive_ode",
+                                         "rtol": 1e-3, "atol": 1e-3})
+    sampler = AdaptiveODESampler(cfg, sde, vpsde_exact_score_fn(sde))
+    x = sde.prior_sampling(jax.random.PRNGKey(0), (64, 1, 1, 1))
+    sampler.sample(None, x, None, None)
+    first = sampler.nfe
+    assert first > 10
+    sampler.sample(None, x, None, None, denoise=False)
+    assert sampler.nfe == 2 * first - 1  # denoise adds exactly one NFE
+    assert sampler.mean_nfe == sampler.nfe / 2
 
 
 def test_inpaint_known_region_preserved():
