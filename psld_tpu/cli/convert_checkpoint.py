@@ -1,0 +1,81 @@
+"""Convert a reference (mandt-lab/PSLD) PyTorch Lightning checkpoint into an
+orbax checkpoint usable as ``evaluation.chkpt_path`` / ``training.
+restore_path``.
+
+Usage::
+
+    python -m psld_tpu.cli.convert_checkpoint SRC.ckpt OUT_DIR \
+        +dataset=cifar10/cifar10_psld <model overrides matching the ckpt>
+    python -m psld_tpu.cli.convert_checkpoint SRC.ckpt OUT_DIR --clf \
+        +dataset=cifar10/cifar10_psld <clf model overrides>
+
+The model overrides must reproduce the architecture the checkpoint was
+trained with (same keys as the reference's own sampling scripts). The
+converted state carries {params, ema_params} from the checkpoint and a
+fresh optimizer state at step 0.
+"""
+
+from __future__ import annotations
+
+import sys
+
+
+def main(argv=None):
+    argv = list(sys.argv[1:] if argv is None else argv)
+    is_clf = "--clf" in argv
+    if is_clf:
+        argv.remove("--clf")
+    positional = [a for a in argv if "=" not in a and not a.startswith("+")]
+    overrides = [a for a in argv if a not in positional]
+    if len(positional) != 2:
+        raise SystemExit(__doc__)
+    src, out = positional
+
+    from psld_tpu.cli._common import bootstrap
+
+    cfg = bootstrap(overrides)
+
+    import os
+
+    import jax
+    import jax.numpy as jnp
+
+    from psld_tpu.registry import get_module
+    from psld_tpu.train import checkpoint as ckpt
+    from psld_tpu.train.loop import build_score_model, init_score_params
+    from psld_tpu.train.state import init_state, make_optimizer
+    from psld_tpu.train import torch_import
+
+    if not is_clf:
+        dcfg = cfg.dataset.diffusion
+        net = build_score_model(dcfg)
+        params0 = init_score_params(net, dcfg, 0)
+        params, ema_params = torch_import.convert_score_checkpoint(src, dcfg)
+        torch_import.verify_tree(params, params0)
+        torch_import.verify_tree(ema_params, params0)
+        state = init_state(params0,
+                           make_optimizer(dcfg.training.optimizer))
+        state = state.replace(params=params, ema_params=ema_params)
+    else:
+        ccfg = cfg.dataset.clf
+        clf_cls = get_module("clf_fn", ccfg.model.clf_fn.name)
+        net = clf_cls.from_config(ccfg)
+        size = int(ccfg.data.image_size)
+        in_ch = int(ccfg.model.clf_fn.in_ch)
+        params0 = jax.jit(net.init)(
+            jax.random.PRNGKey(0),
+            jnp.zeros((2, size, size, in_ch), jnp.float32),
+            jnp.full((2,), 0.5, jnp.float32))
+        params = torch_import.convert_clf_checkpoint(src, ccfg)
+        torch_import.verify_tree(params, params0)
+        state = init_state(params0,
+                           make_optimizer(ccfg.training.optimizer))
+        state = state.replace(params=params, ema_params=params)
+
+    path = ckpt.save_checkpoint(os.path.dirname(os.path.abspath(out)),
+                                os.path.basename(out), state)
+    print(path)
+
+
+if __name__ == "__main__":
+    main()
