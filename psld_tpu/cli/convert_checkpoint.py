@@ -17,7 +17,14 @@ fresh optimizer state at step 0.
 
 from __future__ import annotations
 
+import re
 import sys
+
+# a Hydra-style override is `key=value` / `+key=value` with a dotted
+# identifier key; checkpoint PATHS can legitimately contain `=` (Lightning
+# names like `...-epoch=0999.ckpt`, our `...-epoch=0042` dirs) but their
+# stems contain `/` or `-`, which the key charset excludes
+_OVERRIDE = re.compile(r"^\+?[\w.]+=")
 
 
 def main(argv=None):
@@ -25,7 +32,7 @@ def main(argv=None):
     is_clf = "--clf" in argv
     if is_clf:
         argv.remove("--clf")
-    positional = [a for a in argv if "=" not in a and not a.startswith("+")]
+    positional = [a for a in argv if not _OVERRIDE.match(a)]
     overrides = [a for a in argv if a not in positional]
     if len(positional) != 2:
         raise SystemExit(__doc__)

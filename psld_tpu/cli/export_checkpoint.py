@@ -18,13 +18,15 @@ from __future__ import annotations
 
 import sys
 
+from psld_tpu.cli.convert_checkpoint import _OVERRIDE
+
 
 def main(argv=None):
     argv = list(sys.argv[1:] if argv is None else argv)
     is_clf = "--clf" in argv
     if is_clf:
         argv.remove("--clf")
-    positional = [a for a in argv if "=" not in a and not a.startswith("+")]
+    positional = [a for a in argv if not _OVERRIDE.match(a)]
     overrides = [a for a in argv if a not in positional]
     if len(positional) != 2:
         raise SystemExit(__doc__)

@@ -242,3 +242,43 @@ def test_likelihood_from_checkpoint(trained):
     ])
     bpd = evaluate_nll(cfg.dataset.diffusion, max_batches=1)
     assert np.isfinite(bpd)
+
+
+def test_export_import_cli_roundtrip(trained, workdir):
+    """orbax -> export_checkpoint CLI -> Lightning .ckpt -> convert_checkpoint
+    CLI -> orbax: parameter trees survive bitwise, and the checkpoint PATHS
+    (which contain `epoch=0000`) are parsed as positionals, not overrides."""
+    torch = pytest.importorskip("torch")
+    import jax
+
+    from psld_tpu.cli.convert_checkpoint import main as convert_main
+    from psld_tpu.cli.export_checkpoint import main as export_main
+    from psld_tpu.config import compose
+    from psld_tpu.train import checkpoint as ckpt
+    from psld_tpu.train.loop import build_score_model, init_score_params
+    from psld_tpu.train.state import init_state, make_optimizer
+
+    results, ckpt_path, argv = trained
+    assert "epoch=" in ckpt_path  # the arg-parsing trap this test pins
+
+    out_ckpt = str(workdir / "exported-epoch=0000.ckpt")
+    export_main([ckpt_path, out_ckpt] + argv)
+    sd = torch.load(out_ckpt, map_location="cpu", weights_only=True)
+    assert any(k.startswith("score_fn.all_modules.") for k in sd["state_dict"])
+    assert any(k.startswith("ema_score_fn.") for k in sd["state_dict"])
+    assert sd["global_step"] == 6
+
+    reimported = str(workdir / "reimported")
+    convert_main([out_ckpt, reimported] + argv)
+
+    dcfg = compose(argv).dataset.diffusion
+    net = build_score_model(dcfg)
+    abstract = init_state(init_score_params(net, dcfg, 0),
+                          make_optimizer(dcfg.training.optimizer))
+    orig = ckpt.restore_checkpoint(ckpt_path, abstract)
+    back = ckpt.restore_checkpoint(reimported, abstract)
+    for a, b in zip(jax.tree.leaves(orig.params), jax.tree.leaves(back.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(jax.tree.leaves(orig.ema_params),
+                    jax.tree.leaves(back.ema_params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
