@@ -1,0 +1,148 @@
+"""Compile-once sampler serving (psld_tpu/serve/)."""
+
+import glob
+import os
+import threading
+
+import pytest
+
+import psld_tpu
+
+psld_tpu.import_modules_into_registry()
+
+
+@pytest.fixture(scope="module")
+def served(tmp_path_factory):
+    """A live server on a tiny model with a fresh (untrained) checkpoint."""
+    import jax
+
+    from psld_tpu.config import compose
+    from psld_tpu.serve.server import serve_unix
+    from psld_tpu.train import checkpoint as ckpt
+    from psld_tpu.train.loop import build_score_model, init_score_params
+    from psld_tpu.train.state import init_state, make_optimizer
+
+    root = tmp_path_factory.mktemp("serve")
+    cfg = compose([
+        "+dataset=cifar10/cifar10_psld",
+        f"dataset.diffusion.data.root={root}",
+        "dataset.diffusion.data.name=synthetic",
+        "dataset.diffusion.data.image_size=16",
+        "dataset.diffusion.model.score_fn.nf=8",
+        "dataset.diffusion.model.score_fn.ch_mult=[1,2]",
+        "dataset.diffusion.model.score_fn.num_res_blocks=1",
+        "dataset.diffusion.model.score_fn.attn_resolutions=[8]",
+        "dataset.diffusion.evaluation.batch_size=2",
+        "dataset.diffusion.evaluation.n_discrete_steps=4",
+        "dataset.diffusion.evaluation.sample_from=target",
+        f"dataset.diffusion.evaluation.chkpt_path={root}/ckpt",
+    ]).dataset.diffusion
+
+    net = build_score_model(cfg)
+    params = init_score_params(net, cfg, 0)
+    state = init_state(params, make_optimizer(cfg.training.optimizer))
+    ckpt.save_checkpoint(str(root), "ckpt", state)
+
+    sock = str(root / "psld.sock")
+    ready = threading.Event()
+    out: dict = {}
+
+    def run():
+        out["served"] = serve_unix(cfg, sock, max_requests=16,
+                                   ready_callback=lambda svc: ready.set())
+
+    th = threading.Thread(target=run, daemon=True)
+    th.start()
+    assert ready.wait(timeout=300), "server did not come up"
+    yield sock, root, out
+    if th.is_alive():
+        from psld_tpu.serve import request
+
+        try:
+            request(sock, {"cmd": "shutdown"}, timeout=60)
+        except OSError:
+            pass
+    th.join(timeout=60)
+
+
+def test_ping_and_info(served):
+    from psld_tpu.serve import request
+
+    sock, _, _ = served
+    assert request(sock, {"cmd": "ping"})["ok"]
+    info = request(sock, {"cmd": "info"})
+    assert info["ok"] and info["compiled"]
+    assert info["sampler"] == "em_sde"
+    # per-dispatch = batch_size * n_devices (8-device CPU mesh in conftest)
+    assert info["per_dispatch_batch"] == 2 * info["devices"]
+
+
+def test_sample_request_writes_pngs(served):
+    from psld_tpu.serve import request
+
+    sock, root, _ = served
+    out_dir = str(root / "req1")
+    r = request(sock, {"cmd": "sample", "n": 3, "seed": 7, "out": out_dir})
+    assert r["ok"] and r["written"] == 3
+    pngs = glob.glob(os.path.join(out_dir, "**", "*.png"), recursive=True)
+    assert len(pngs) == 3
+
+
+def test_sample_larger_than_dispatch_loops(served):
+    from psld_tpu.serve import request
+
+    sock, root, _ = served
+    out_dir = str(root / "req2")
+    n = 2 * 8 + 5  # 1 full dispatch + partial
+    r = request(sock, {"cmd": "sample", "n": n, "seed": 8, "out": out_dir})
+    assert r["ok"] and r["written"] == n and r["batches"] == 2
+    pngs = glob.glob(os.path.join(out_dir, "**", "*.png"), recursive=True)
+    assert len(pngs) == n
+
+
+def test_seed_determinism(served):
+    import numpy as np
+    from PIL import Image
+
+    from psld_tpu.serve import request
+
+    sock, root, _ = served
+    d1, d2, d3 = (str(root / f"det{i}") for i in range(3))
+    request(sock, {"cmd": "sample", "n": 2, "seed": 5, "out": d1})
+    request(sock, {"cmd": "sample", "n": 2, "seed": 5, "out": d2})
+    request(sock, {"cmd": "sample", "n": 2, "seed": 6, "out": d3})
+
+    def load(d):
+        return [np.asarray(Image.open(f)) for f in sorted(
+            glob.glob(os.path.join(d, "**", "*.png"), recursive=True))]
+
+    a, b, c = load(d1), load(d2), load(d3)
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(x, y)
+    assert any((x != y).any() for x, y in zip(a, c))
+
+
+def test_bad_request_keeps_serving(served):
+    from psld_tpu.serve import request
+
+    sock, _, _ = served
+    r = request(sock, {"cmd": "sample"})  # missing out dir
+    assert not r["ok"] and "out" in r["error"]
+    r = request(sock, {"cmd": "nope"})
+    assert not r["ok"]
+    assert request(sock, {"cmd": "ping"})["ok"]  # still alive
+
+
+def test_shutdown(served):
+    from psld_tpu.serve import request
+
+    sock, _, out = served
+    assert request(sock, {"cmd": "shutdown"})["ok"]
+    # server loop exited; socket removed
+    import time
+
+    for _ in range(50):
+        if not os.path.exists(sock):
+            break
+        time.sleep(0.1)
+    assert not os.path.exists(sock)
