@@ -22,7 +22,7 @@ import numpy as np
 
 
 def iter_image_batches(path: str, batch: int):
-    from PIL import Image
+    from psld_tpu.utils.images import load_images_rgb
 
     files = sorted(
         f for ext in ("*.png", "*.jpg", "*.jpeg")
@@ -32,9 +32,7 @@ def iter_image_batches(path: str, batch: int):
         raise ValueError(f"No images under {path}")
     for start in range(0, len(files), batch):
         chunk = files[start: start + batch]
-        imgs = [np.asarray(Image.open(f).convert("RGB"), np.uint8)
-                for f in chunk]
-        yield np.stack(imgs).astype(np.float32) / 255.0
+        yield load_images_rgb(chunk).astype(np.float32) / 255.0
 
 
 def compute_moments(path: str, feature_fn, batch: int):

@@ -44,16 +44,20 @@ class DirStats:
                 "diversity": round(self.diversity, 4)}
 
 
+_CHUNK = 256
+
+
 def _iter_images(path: str, limit: int | None = None):
-    from PIL import Image
+    from psld_tpu.utils.images import load_images_rgb
 
     files = sorted(
         f for ext in ("*.png", "*.jpg", "*.jpeg")
         for f in glob.glob(os.path.join(path, "**", ext), recursive=True))
     if limit:
         files = files[:limit]
-    for f in files:
-        yield np.asarray(Image.open(f).convert("RGB"), np.float32) / 255.0
+    for start in range(0, len(files), _CHUNK):
+        for img in load_images_rgb(files[start:start + _CHUNK]):
+            yield np.asarray(img, np.float32) / 255.0
 
 
 def compute_dir_stats(path: str, limit: int | None = None) -> DirStats:

@@ -57,3 +57,28 @@ def save_as_np(batch, file_name: str = "output", denorm: bool = True):
         x = (x - lo) / np.maximum(hi - lo, 1e-8)
     for i, img in enumerate(x):
         np.save(f"{file_name}_{i}.npy", img)
+
+
+def load_images_rgb(paths) -> np.ndarray:
+    """Load image files as an (N, H, W, 3) uint8 batch.
+
+    Fast path: same-shaped RGB/palette PNGs decode through the native
+    multithreaded C++ decoder; anything else (mixed shapes, gray/RGBA,
+    JPEG, exotic PNG variants) falls back to PIL per file.
+    """
+    paths = list(paths)
+    if not paths:
+        return np.empty((0, 0, 0, 3), np.uint8)
+    if all(p.lower().endswith(".png") for p in paths):
+        try:
+            from psld_tpu import native
+
+            h, w, c = native.read_png_info(paths[0])
+            if c == 3:
+                return native.read_png_batch(paths, h, w, 3)
+        except Exception:
+            pass
+    from PIL import Image
+
+    return np.stack([np.asarray(Image.open(p).convert("RGB"), np.uint8)
+                     for p in paths])

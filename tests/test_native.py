@@ -81,3 +81,94 @@ def test_throughput_beats_pil(tmp_path):
     t_pil = time.time() - t0
 
     assert t_native < t_pil, (t_native, t_pil)
+
+
+# ---------------- decoder ----------------
+
+
+def test_read_png_roundtrip_all_channel_counts(tmp_path):
+    rng = np.random.default_rng(5)
+    for c in (1, 3, 4):
+        img = rng.integers(0, 256, (13, 19, c), np.uint8)
+        path = str(tmp_path / f"rt{c}.png")
+        native.write_png(path, img)
+        assert native.read_png_info(path) == (13, 19, c)
+        np.testing.assert_array_equal(native.read_png(path), img)
+
+
+def test_read_png_decodes_pil_output(tmp_path):
+    """PIL uses every row filter adaptively — exercises un-filtering."""
+    rng = np.random.default_rng(6)
+    # gradient + noise drives PIL to pick Sub/Up/Average/Paeth filters
+    base = np.linspace(0, 255, 64 * 64 * 3).reshape(64, 64, 3)
+    img = (base + rng.normal(0, 12, base.shape)).clip(0, 255).astype(np.uint8)
+    path = str(tmp_path / "pil.png")
+    Image.fromarray(img).save(path, "png", optimize=True)
+    np.testing.assert_array_equal(native.read_png(path), img)
+
+
+def test_read_png_palette_expands_to_rgb(tmp_path):
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, (16, 16, 3), np.uint8)
+    pal = Image.fromarray(img).convert("P", palette=Image.ADAPTIVE)
+    path = str(tmp_path / "pal.png")
+    pal.save(path, "png")
+    h, w, c = native.read_png_info(path)
+    assert (h, w, c) == (16, 16, 3)
+    np.testing.assert_array_equal(native.read_png(path),
+                                  np.asarray(pal.convert("RGB")))
+
+
+def test_read_png_batch_parallel(tmp_path):
+    rng = np.random.default_rng(8)
+    batch = rng.integers(0, 256, (32, 16, 16, 3), np.uint8)
+    prefix = str(tmp_path / "b")
+    native.write_png_batch(batch, prefix)
+    paths = [f"{prefix}_{i}.png" for i in range(32)]
+    out = native.read_png_batch(paths, 16, 16, 3, threads=8)
+    np.testing.assert_array_equal(out, batch)
+
+
+def test_read_png_unsupported_falls_loud(tmp_path):
+    rng = np.random.default_rng(9)
+    img16 = rng.integers(0, 65536, (8, 8), np.uint16)
+    path = str(tmp_path / "deep.png")
+    Image.fromarray(img16, mode="I;16").save(path, "png")
+    with pytest.raises(native.UnsupportedPng):
+        native.read_png_info(path)
+
+
+def test_read_png_shape_mismatch(tmp_path):
+    img = np.zeros((8, 8, 3), np.uint8)
+    path = str(tmp_path / "s.png")
+    native.write_png(path, img)
+    with pytest.raises(ValueError, match="shape mismatch"):
+        native.read_png_batch([path], 16, 16, 3)
+
+
+def test_read_png_corrupt_file(tmp_path):
+    path = str(tmp_path / "junk.png")
+    with open(path, "wb") as f:
+        f.write(b"not a png at all")
+    with pytest.raises(OSError):
+        native.read_png(path)
+
+
+def test_read_throughput_beats_pil(tmp_path):
+    rng = np.random.default_rng(10)
+    batch = rng.integers(0, 256, (256, 32, 32, 3), np.uint8)
+    prefix = str(tmp_path / "r")
+    native.write_png_batch(batch, prefix)
+    paths = [f"{prefix}_{i}.png" for i in range(256)]
+
+    t0 = time.time()
+    out = native.read_png_batch(paths, 32, 32, 3, threads=0)
+    t_native = time.time() - t0
+    np.testing.assert_array_equal(out, batch)
+
+    t0 = time.time()
+    pil = np.stack([np.asarray(Image.open(p)) for p in paths])
+    t_pil = time.time() - t0
+    np.testing.assert_array_equal(pil, batch)
+
+    assert t_native < t_pil, (t_native, t_pil)
