@@ -235,3 +235,26 @@ def test_data_parallel_step_on_mesh():
     la = jax.tree_util.tree_leaves(state_a.params)[0]
     lb = jax.tree_util.tree_leaves(state_b.params)[0]
     np.testing.assert_allclose(np.asarray(la), np.asarray(lb), atol=1e-6)
+
+
+def test_remat_matches_baseline():
+    """training.remat=True (jax.checkpoint around the score net) must not
+    change the optimization: losses bitwise-equal, params near-identical."""
+    cfg, sde, net, criterion, params = tiny_setup()
+    step_plain, opt = make_train_step(net, sde, criterion, cfg, donate=False)
+
+    cfg.training.remat = True
+    step_remat, _ = make_train_step(net, sde, criterion, cfg, donate=False)
+
+    batch = jax.random.normal(jax.random.PRNGKey(2), (8, 8, 8, 3),
+                              jnp.float32)
+    rng = jax.random.PRNGKey(3)
+    s_a = init_state(params, opt)
+    s_b = init_state(params, opt)
+    for _ in range(3):
+        s_a, m_a = step_plain(s_a, batch, rng)
+        s_b, m_b = step_remat(s_b, batch, rng)
+        assert float(m_a["loss"]) == float(m_b["loss"])
+    for a, b in zip(jax.tree.leaves(s_a.params), jax.tree.leaves(s_b.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-7)
