@@ -22,9 +22,24 @@ import sys
 
 # a Hydra-style override is `key=value` / `+key=value` with a dotted
 # identifier key; checkpoint PATHS can legitimately contain `=` (Lightning
-# names like `...-epoch=0999.ckpt`, our `...-epoch=0042` dirs) but their
-# stems contain `/` or `-`, which the key charset excludes
+# names like `...-epoch=0999.ckpt`, our `...-epoch=0042` dirs), so an
+# `=`-bearing arg still counts as positional when it points at an existing
+# file or carries a checkpoint extension (Lightning's DEFAULT filename
+# `epoch=0-step=999.ckpt` would otherwise parse as an override)
 _OVERRIDE = re.compile(r"^\+?[\w.]+=")
+
+
+def _split_args(argv):
+    import os
+
+    def is_positional(a):
+        if not _OVERRIDE.match(a):
+            return True
+        return os.path.exists(a) or a.endswith((".ckpt", ".pt", ".pth"))
+
+    positional = [a for a in argv if is_positional(a)]
+    overrides = [a for a in argv if not is_positional(a)]
+    return positional, overrides
 
 
 def main(argv=None):
@@ -32,8 +47,7 @@ def main(argv=None):
     is_clf = "--clf" in argv
     if is_clf:
         argv.remove("--clf")
-    positional = [a for a in argv if not _OVERRIDE.match(a)]
-    overrides = [a for a in argv if a not in positional]
+    positional, overrides = _split_args(argv)
     if len(positional) != 2:
         raise SystemExit(__doc__)
     src, out = positional
@@ -44,14 +58,11 @@ def main(argv=None):
 
     import os
 
-    import jax
-    import jax.numpy as jnp
-
-    from psld_tpu.registry import get_module
     from psld_tpu.train import checkpoint as ckpt
-    from psld_tpu.train.loop import build_score_model, init_score_params
-    from psld_tpu.train.state import init_state, make_optimizer
     from psld_tpu.train import torch_import
+    from psld_tpu.train.loop import (build_clf_model, build_score_model,
+                                     init_score_params)
+    from psld_tpu.train.state import init_state, make_optimizer
 
     if not is_clf:
         dcfg = cfg.dataset.diffusion
@@ -65,14 +76,7 @@ def main(argv=None):
         state = state.replace(params=params, ema_params=ema_params)
     else:
         ccfg = cfg.dataset.clf
-        clf_cls = get_module("clf_fn", ccfg.model.clf_fn.name)
-        net = clf_cls.from_config(ccfg)
-        size = int(ccfg.data.image_size)
-        in_ch = int(ccfg.model.clf_fn.in_ch)
-        params0 = jax.jit(net.init)(
-            jax.random.PRNGKey(0),
-            jnp.zeros((2, size, size, in_ch), jnp.float32),
-            jnp.full((2,), 0.5, jnp.float32))
+        net, params0 = build_clf_model(ccfg)
         params = torch_import.convert_clf_checkpoint(src, ccfg)
         torch_import.verify_tree(params, params0)
         state = init_state(params0,

@@ -18,7 +18,7 @@ from __future__ import annotations
 
 import sys
 
-from psld_tpu.cli.convert_checkpoint import _OVERRIDE
+from psld_tpu.cli.convert_checkpoint import _split_args
 
 
 def main(argv=None):
@@ -26,8 +26,7 @@ def main(argv=None):
     is_clf = "--clf" in argv
     if is_clf:
         argv.remove("--clf")
-    positional = [a for a in argv if not _OVERRIDE.match(a)]
-    overrides = [a for a in argv if a not in positional]
+    positional, overrides = _split_args(argv)
     if len(positional) != 2:
         raise SystemExit(__doc__)
     src, out = positional
@@ -37,12 +36,11 @@ def main(argv=None):
     cfg = bootstrap(overrides)
 
     import jax
-    import jax.numpy as jnp
 
-    from psld_tpu.registry import get_module
     from psld_tpu.train import checkpoint as ckpt
     from psld_tpu.train import torch_export
-    from psld_tpu.train.loop import build_score_model, init_score_params
+    from psld_tpu.train.loop import (build_clf_model, build_score_model,
+                                     init_score_params)
     from psld_tpu.train.state import init_state, make_optimizer
 
     if not is_clf:
@@ -57,14 +55,7 @@ def main(argv=None):
         step = int(state.step)
     else:
         ccfg = cfg.dataset.clf
-        clf_cls = get_module("clf_fn", ccfg.model.clf_fn.name)
-        net = clf_cls.from_config(ccfg)
-        size = int(ccfg.data.image_size)
-        in_ch = int(ccfg.model.clf_fn.in_ch)
-        params0 = jax.jit(net.init)(
-            jax.random.PRNGKey(0),
-            jnp.zeros((2, size, size, in_ch), jnp.float32),
-            jnp.full((2,), 0.5, jnp.float32))
+        net, params0 = build_clf_model(ccfg)
         abstract = init_state(params0, make_optimizer(ccfg.training.optimizer))
         state = ckpt.restore_checkpoint(src, abstract)
         sd = torch_export.export_clf_state_dict(

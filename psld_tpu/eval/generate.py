@@ -22,7 +22,8 @@ from psld_tpu.parallel.mesh import make_mesh, replicate, shard_batch
 from psld_tpu.registry import get_module
 from psld_tpu.samplers.base import make_timesteps
 from psld_tpu.train import checkpoint as ckpt
-from psld_tpu.train.loop import build_score_model, build_sde, init_score_params
+from psld_tpu.train.loop import (build_clf_model, build_score_model,
+                                 build_sde, init_score_params)
 from psld_tpu.train.state import init_state, make_optimizer
 
 logger = logging.getLogger(__name__)
@@ -149,13 +150,7 @@ def class_cond_sample(config):
     sde = build_sde(dcfg)
     net, params = load_eval_state(dcfg)
 
-    clf_cls = get_module("clf_fn", config.clf.model.clf_fn.name)
-    clf_net = clf_cls.from_config(config.clf)
-    size = int(config.clf.data.image_size)
-    in_ch = int(config.clf.model.clf_fn.in_ch)
-    clf_params_init = jax.jit(clf_net.init)(
-        jax.random.PRNGKey(0), jnp.zeros((2, size, size, in_ch), jnp.float32),
-        jnp.full((2,), 0.5, jnp.float32))
+    clf_net, clf_params_init = build_clf_model(config.clf)
     clf_opt = make_optimizer(config.clf.training.optimizer)
     clf_abstract = init_state(clf_params_init, clf_opt)
     clf_state = ckpt.restore_checkpoint(

@@ -62,6 +62,8 @@ def _iter_images(path: str, limit: int | None = None):
 
 def compute_dir_stats(path: str, limit: int | None = None) -> DirStats:
     n = 0
+    n_div = 0  # images entering the per-pixel diversity moments (the
+    # first-seen shape only -- mixed-shape dirs would corrupt the variance)
     s = ss = tv = 0.0
     px_sum = None
     px_sq = None
@@ -78,6 +80,7 @@ def compute_dir_stats(path: str, limit: int | None = None) -> DirStats:
         if img.shape == px_sum.shape:
             px_sum += img
             px_sq += img * img
+            n_div += 1
         for c in range(3):
             h, _ = np.histogram(img[..., c], bins=_BINS, range=(0.0, 1.0))
             hist[c] += h
@@ -86,7 +89,7 @@ def compute_dir_stats(path: str, limit: int | None = None) -> DirStats:
     mean = s / n
     var = max(ss / n - mean * mean, 0.0)
     # inter-sample diversity: mean over pixels of the std across samples
-    pvar = np.maximum(px_sq / n - (px_sum / n) ** 2, 0.0)
+    pvar = np.maximum(px_sq / n_div - (px_sum / n_div) ** 2, 0.0)
     hist /= hist.sum(axis=1, keepdims=True)
     return DirStats(n=n, mean=mean, std=float(np.sqrt(var)), tv=tv / n,
                     diversity=float(np.sqrt(pvar).mean()), hist=hist)

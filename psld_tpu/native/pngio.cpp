@@ -86,9 +86,10 @@ struct PngInfo {
 };
 
 // Parse chunks; returns 0 or a negative error (-5 = valid but unsupported
-// PNG variant -- callers fall back to a generic decoder).
+// PNG variant -- callers fall back to a generic decoder). info_only stops
+// right after IHDR (the first chunk) so shape queries don't read the file.
 int read_chunks(FILE* f, PngInfo* info, std::vector<uint8_t>* idat,
-                std::vector<uint8_t>* plte) {
+                std::vector<uint8_t>* plte, bool info_only = false) {
   uint8_t magic[8];
   static const uint8_t want[8] = {0x89, 'P', 'N', 'G', '\r', '\n', 0x1a, '\n'};
   if (fread(magic, 1, 8, f) != 8 || memcmp(magic, want, 8)) return -1;
@@ -97,7 +98,7 @@ int read_chunks(FILE* f, PngInfo* info, std::vector<uint8_t>* idat,
     uint8_t hdr[8];
     if (fread(hdr, 1, 8, f) != 8) return -1;
     uint32_t len = be32(hdr);
-    if (len > (1u << 30)) return -1;
+    if (len > (1u << 28)) return -1;  // corrupt-header allocation guard
     char type[5] = {char(hdr[4]), char(hdr[5]), char(hdr[6]), char(hdr[7]), 0};
     std::vector<uint8_t> payload(len);
     if (len && fread(payload.data(), 1, len, f) != len) return -1;
@@ -119,6 +120,7 @@ int read_chunks(FILE* f, PngInfo* info, std::vector<uint8_t>* idat,
         default: return -5;
       }
       seen_ihdr = true;
+      if (info_only) return 0;
     } else if (!strcmp(type, "PLTE")) {
       *plte = std::move(payload);
     } else if (!strcmp(type, "IDAT")) {
@@ -212,33 +214,39 @@ int decode_one(const char* path, uint8_t* out, int h, int w, int c) {
 
 extern "C" {
 
-// Parse IHDR only; reports the decoded output shape (palette -> 3ch).
-// Returns 0, or -5 for valid-but-unsupported variants (16-bit, interlaced,
-// transparency), or -1 for unreadable/corrupt files.
-int psld_read_png_info(const char* path, int* h, int* w, int* c) {
+// Parse IHDR only (stops after the first chunk -- does not read pixel
+// data); reports the decoded output shape (palette -> 3ch). Returns 0, or
+// -5 for valid-but-unsupported variants (16-bit, interlaced; transparency
+// is only detected at decode time), or -1 for unreadable/corrupt files,
+// or -7 on internal failure.
+int psld_read_png_info(const char* path, int* h, int* w, int* c) try {
   FILE* f = fopen(path, "rb");
   if (!f) return -1;
   PngInfo info;
   std::vector<uint8_t> idat, plte;
-  int rc = read_chunks(f, &info, &idat, &plte);
+  int rc = read_chunks(f, &info, &idat, &plte, /*info_only=*/true);
   fclose(f);
   if (rc != 0) return rc;
   *h = int(info.h);
   *w = int(info.w);
   *c = info.out_ch;
   return 0;
+} catch (...) {
+  return -7;  // never let a C++ exception cross the ctypes boundary
 }
 
 // Decode one PNG into a caller-allocated (h, w, c) uint8 buffer; the shape
 // must match psld_read_png_info (-6 on mismatch).
-int psld_read_png(const char* path, uint8_t* out, int h, int w, int c) {
+int psld_read_png(const char* path, uint8_t* out, int h, int w, int c) try {
   return decode_one(path, out, h, w, c);
+} catch (...) {
+  return -7;
 }
 
 // Decode n same-shaped PNGs into a contiguous NHWC buffer with a thread
 // pool. Returns 0 or the first nonzero per-image error code.
 int psld_read_png_batch(const char* const* paths, uint8_t* out, int n,
-                        int h, int w, int c, int threads) {
+                        int h, int w, int c, int threads) try {
   if (threads <= 0) {
     threads = static_cast<int>(std::thread::hardware_concurrency());
     if (threads <= 0) threads = 4;
@@ -251,7 +259,12 @@ int psld_read_png_batch(const char* const* paths, uint8_t* out, int n,
     for (;;) {
       int i = next.fetch_add(1);
       if (i >= n || err.load() != 0) break;
-      int rc = decode_one(paths[i], out + stride * i, h, w, c);
+      int rc;
+      try {
+        rc = decode_one(paths[i], out + stride * i, h, w, c);
+      } catch (...) {
+        rc = -7;  // an exception escaping a std::thread would terminate()
+      }
       if (rc != 0) {
         int expected = 0;
         err.compare_exchange_strong(expected, rc);
@@ -263,17 +276,21 @@ int psld_read_png_batch(const char* const* paths, uint8_t* out, int n,
   for (int t = 0; t < threads; ++t) pool.emplace_back(worker);
   for (auto& t : pool) t.join();
   return err.load();
+} catch (...) {
+  return -7;
 }
 
 int psld_write_png(const char* path, const uint8_t* img, int h, int w,
-                   int c) {
+                   int c) try {
   return encode_one(path, img, h, w, c);
+} catch (...) {
+  return -7;
 }
 
 // Encode n images (contiguous NHWC uint8) to paths[i] using a thread pool.
 // Returns 0 on success, else the first nonzero per-image error code.
 int psld_write_png_batch(const char* const* paths, const uint8_t* data,
-                         int n, int h, int w, int c, int threads) {
+                         int n, int h, int w, int c, int threads) try {
   if (threads <= 0) {
     threads = static_cast<int>(std::thread::hardware_concurrency());
     if (threads <= 0) threads = 4;
@@ -286,7 +303,12 @@ int psld_write_png_batch(const char* const* paths, const uint8_t* data,
     for (;;) {
       int i = next.fetch_add(1);
       if (i >= n) break;
-      int rc = encode_one(paths[i], data + stride * i, h, w, c);
+      int rc;
+      try {
+        rc = encode_one(paths[i], data + stride * i, h, w, c);
+      } catch (...) {
+        rc = -7;
+      }
       if (rc != 0) {
         int expected = 0;
         err.compare_exchange_strong(expected, rc);
@@ -298,6 +320,8 @@ int psld_write_png_batch(const char* const* paths, const uint8_t* data,
   for (int t = 0; t < threads; ++t) pool.emplace_back(worker);
   for (auto& t : pool) t.join();
   return err.load();
+} catch (...) {
+  return -7;
 }
 
 }  // extern "C"

@@ -76,6 +76,9 @@ class SamplerService:
         self._jax = jax
         self.n_steps = n_steps
         self.compiled = False
+        # monotonically increasing request id, used as the writer `rank` so
+        # repeated requests into the same out dir never overwrite each other
+        self._request_id = 0
 
     def warmup(self) -> float:
         """Trigger compilation; returns the compile+run wall seconds."""
@@ -103,17 +106,20 @@ class SamplerService:
             is_norm=bool(self.config.data.norm),
             is_augmented=bool(self.config.model.sde.get("is_augmented", True)),
         )
+        rid = self._request_id
+        self._request_id += 1
         t0 = time.time()
         written = 0
         batch_idx = 0
         while written < n:
             out = np.asarray(self._request_batch(seed, batch_idx))
             take = min(self.per_step, n - written)
-            writer.write_batch(out[:take], rank=0, batch_idx=batch_idx)
+            writer.write_batch(out[:take], rank=rid, batch_idx=batch_idx)
             written += take
             batch_idx += 1
         elapsed = time.time() - t0
         return {"written": written, "batches": batch_idx,
+                "request_id": rid,
                 "elapsed_s": round(elapsed, 3),
                 "img_per_s": round(written / elapsed, 3) if elapsed else None,
                 "out": os.path.abspath(out_dir)}
@@ -169,12 +175,19 @@ def serve_unix(config, socket_path: str, max_requests: int | None = None,
         while not stop and (max_requests is None or served < max_requests):
             conn, _ = srv.accept()
             with conn:
+                # bound the read so a silent client cannot wedge the
+                # single-threaded accept loop
+                conn.settimeout(30.0)
                 buf = b""
-                while not buf.endswith(b"\n"):
-                    chunk = conn.recv(65536)
-                    if not chunk:
-                        break
-                    buf += chunk
+                try:
+                    while not buf.endswith(b"\n"):
+                        chunk = conn.recv(65536)
+                        if not chunk:
+                            break
+                        buf += chunk
+                except TimeoutError:
+                    logger.warning("client recv timed out; dropping")
+                    continue
                 if not buf.strip():
                     continue
                 try:
@@ -182,7 +195,12 @@ def serve_unix(config, socket_path: str, max_requests: int | None = None,
                 except Exception as e:  # keep serving on bad requests
                     logger.exception("request failed")
                     reply, stop = {"ok": False, "error": repr(e)}, False
-                conn.sendall((json.dumps(reply) + "\n").encode())
+                try:
+                    conn.sendall((json.dumps(reply) + "\n").encode())
+                except OSError:
+                    # client gave up (e.g. short timeout on a big job) --
+                    # the server and its compiled program must survive
+                    logger.warning("client disconnected before reply")
                 served += 1
     os.unlink(socket_path)
     return served

@@ -48,6 +48,20 @@ def init_score_params(net, config, seed: int):
     return jax.jit(net.init)(jax.random.PRNGKey(seed), x, t)
 
 
+def build_clf_model(ccfg, seed: int = 0):
+    """(net, init params) for the noise-conditional classifier; ``ccfg``
+    is the clf config subtree."""
+    clf_cls = get_module("clf_fn", str(ccfg.model.clf_fn.name))
+    net = clf_cls.from_config(ccfg)
+    size = int(ccfg.data.image_size)
+    in_ch = int(ccfg.model.clf_fn.in_ch)
+    params = jax.jit(net.init)(
+        jax.random.PRNGKey(seed),
+        jnp.zeros((2, size, size, in_ch), jnp.float32),
+        jnp.full((2,), 0.5, jnp.float32))
+    return net, params
+
+
 def train_sde(config, max_steps: int | None = None):
     """Unconditional score training (reference train_sde.py:21-120).
 

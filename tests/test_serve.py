@@ -133,6 +133,21 @@ def test_bad_request_keeps_serving(served):
     assert request(sock, {"cmd": "ping"})["ok"]  # still alive
 
 
+def test_repeat_requests_same_dir_accumulate(served):
+    """Two requests into one out dir must not overwrite each other (the
+    writer rank is the per-request id)."""
+    from psld_tpu.serve import request
+
+    sock, root, _ = served
+    out_dir = str(root / "accum")
+    r1 = request(sock, {"cmd": "sample", "n": 2, "seed": 1, "out": out_dir})
+    r2 = request(sock, {"cmd": "sample", "n": 2, "seed": 2, "out": out_dir})
+    assert r1["ok"] and r2["ok"]
+    assert r1["request_id"] != r2["request_id"]
+    pngs = glob.glob(os.path.join(out_dir, "**", "*.png"), recursive=True)
+    assert len(pngs) == 4
+
+
 def test_shutdown(served):
     from psld_tpu.serve import request
 

@@ -249,3 +249,20 @@ def test_module_count_mismatch_is_loud():
     sd = {"all_modules.0.weight": np.zeros((8, 2, 3, 3), np.float32)}
     with pytest.raises(ValueError, match="module-count mismatch"):
         ti._convert(sd, names, kw)
+
+
+def test_cli_arg_split_handles_lightning_default_names(tmp_path):
+    """Lightning's DEFAULT checkpoint filename (`epoch=0-step=999.ckpt`)
+    and our `...-epoch=0042` dirs must parse as positionals, overrides as
+    overrides."""
+    from psld_tpu.cli.convert_checkpoint import _split_args
+
+    pos, ovr = _split_args(["epoch=0-step=999.ckpt", "outdir",
+                            "+dataset=cifar10/cifar10_psld", "a.b_c=1"])
+    assert pos == ["epoch=0-step=999.ckpt", "outdir"]
+    assert ovr == ["+dataset=cifar10/cifar10_psld", "a.b_c=1"]
+
+    d = tmp_path / "psld-score_xm-epoch=0042"
+    d.mkdir()
+    pos, ovr = _split_args([str(d), "out.ckpt", "x.y=2"])
+    assert pos == [str(d), "out.ckpt"] and ovr == ["x.y=2"]
