@@ -47,10 +47,16 @@ def make_score_fn(net, params):
 
 
 def _run_sampler(config, sde, sampler_factory, params, writer, batch_source,
-                 write_extra_batch: bool = False):
+                 write_extra_batch: bool = False, param_source=None,
+                 prefix_source=None):
     """``sampler_factory(params) -> Sampler``; params are threaded through
     jit as arguments -- closing over 100M-param pytrees would embed them as
-    constants in the XLA program (and overflow remote-compile payloads)."""
+    constants in the XLA program (and overflow remote-compile payloads).
+
+    ``param_source(batch_idx, replicated_params)`` may swap cheap per-batch
+    leaves (e.g. the guidance label) into the jit arguments without
+    recompiling; ``prefix_source(batch_idx)`` may retarget the writer's
+    sample prefix per batch (label-tagged filenames)."""
     ecfg = config.evaluation
     denoise = bool(ecfg.denoise)
     n_steps = int(ecfg.n_discrete_steps)
@@ -91,11 +97,15 @@ def _run_sampler(config, sde, sampler_factory, params, writer, batch_source,
         batch = batch_source(k_batch, bs, batch_idx)
         if not is_host_loop and bs == per_step:
             batch = shard_batch(batch, mesh)
+        if prefix_source is not None:
+            writer.sample_prefix = prefix_source(batch_idx)
         if is_host_loop:
             out = sampler.sample(k_batch, batch, ts, n_eff, denoise=denoise,
                                  eps=float(ecfg.eval_eps))
         else:
-            out = sample_jit(params, k_batch, batch)
+            p = params if param_source is None else param_source(batch_idx,
+                                                                 params)
+            out = sample_jit(p, k_batch, batch)
             if reports_nfe:
                 out, nfe = out
                 total_nfe += int(nfe)
@@ -159,10 +169,17 @@ def class_cond_sample(config):
     merged = _merged_eval_config(config)
     sampler_cls = get_module("samplers", str(dcfg.evaluation.sampler.name))
 
-    def sampler_factory(both):
-        score_p, clf_p = both
+    # `label_to_sample` may be a single class (reference parity), a comma
+    # list, or "all": multiple labels cycle per dispatch batch through ONE
+    # compiled program (the label is a traced jit argument, never a
+    # constant -- a per-label recompile costs minutes on remote backends)
+    labels = _parse_label_spec(config.clf.evaluation.label_to_sample,
+                               int(config.clf.model.clf_fn.n_cls))
+
+    def sampler_factory(triple):
+        score_p, clf_p, y = triple
         return sampler_cls(merged, sde, make_score_fn(net, score_p),
-                           clf_fn=make_score_fn(clf_net, clf_p))
+                           clf_fn=make_score_fn(clf_net, clf_p), y=y)
 
     writer = SimpleImageWriter(
         str(dcfg.evaluation.save_path),
@@ -177,8 +194,31 @@ def class_cond_sample(config):
     def batch_source(key, bs, batch_idx):
         return latent.sample_batch(key, bs)
 
+    param_source = prefix_source = None
+    if len(labels) > 1:
+        base_prefix = str(dcfg.evaluation.sample_prefix)
+
+        def param_source(i, rep):
+            return (rep[0], rep[1],
+                    jnp.asarray(labels[i % len(labels)], jnp.int32))
+
+        def prefix_source(i):
+            return f"{base_prefix}y{labels[i % len(labels)]}"
+
+    y0 = jnp.asarray(labels[0], jnp.int32)
     return _run_sampler(dcfg, sde, sampler_factory,
-                        (params, clf_state.params), writer, batch_source)
+                        (params, clf_state.params, y0), writer, batch_source,
+                        param_source=param_source,
+                        prefix_source=prefix_source)
+
+
+def _parse_label_spec(spec, n_cls: int) -> list:
+    s = str(spec)
+    if s == "all":
+        return list(range(n_cls))
+    if "," in s:
+        return [int(x) for x in s.split(",") if x != ""]
+    return [int(s)]
 
 
 def _merged_eval_config(config):

@@ -109,17 +109,25 @@ class ClassCondEulerMaruyamaSampler(Sampler):
     inconsistency there; the reference's own inpainter uses ``T - t``.
     """
 
-    def __init__(self, config, sde, score_fn, clf_fn, corrector_fn=None):
+    def __init__(self, config, sde, score_fn, clf_fn, corrector_fn=None,
+                 y=None):
         super().__init__(config, sde, score_fn, corrector_fn=corrector_fn)
         self.clf_fn = clf_fn
-        self.y = int(config.clf.evaluation.label_to_sample)
+        # y may be a Python int (from config, compiled as a constant) or a
+        # traced int32 scalar -- passing it as a jit ARGUMENT lets ONE
+        # compiled program sample any class (a per-label recompile costs
+        # minutes on remote-compile backends)
+        self.y = y if y is not None else int(
+            config.clf.evaluation.label_to_sample)
         self.clf_temp = float(config.clf.evaluation.clf_temp)
 
     def _guidance(self, x, t_phys):
         def selected_logp(x_in):
             tv = jnp.full((x_in.shape[0],), t_phys).astype(jnp.float32)
             logits = self.clf_fn(x_in.astype(jnp.float32), tv)
-            return jnp.sum(jax.nn.log_softmax(logits, axis=-1)[:, self.y])
+            logp = jax.nn.log_softmax(logits, axis=-1)
+            onehot = jax.nn.one_hot(self.y, logp.shape[-1], dtype=logp.dtype)
+            return jnp.sum(logp * onehot)
 
         return jax.grad(selected_logp)(x) * self.clf_temp
 

@@ -212,6 +212,25 @@ def test_clf_train_and_guided_sample(trained, workdir):
     pngs = _glob.glob(f"{save}/images/*.png")
     assert len(pngs) == 4, pngs
 
+    # label_to_sample=all: ONE compiled program cycles classes per batch
+    # (the label rides as a traced jit argument) with label-tagged names
+    save2 = str(workdir / "cc_samples_all")
+    cfg = compose(clf_argv + [
+        f"dataset.diffusion.evaluation.chkpt_path={ckpt_path}",
+        f"dataset.diffusion.evaluation.save_path={save2}",
+        "dataset.diffusion.evaluation.sampler.name=cc_em_sde",
+        "dataset.diffusion.evaluation.n_samples=10",
+        "dataset.diffusion.evaluation.batch_size=1",
+        f"dataset.clf.evaluation.chkpt_path={clf_ckpts[0]}",
+        "dataset.clf.evaluation.label_to_sample=all",
+        "dataset.clf.evaluation.clf_temp=1.0",
+    ])
+    assert class_cond_sample(cfg.dataset) == 10
+    # per_step = 1 x 8 devices -> batch 0 (8 imgs) carries label 0, batch 1
+    # (2 imgs) label 1, each tagged in the filename
+    assert len(_glob.glob(f"{save2}/images/*y0*.png")) == 8
+    assert len(_glob.glob(f"{save2}/images/*y1*.png")) == 2
+
 
 def test_checkpoint_resume(trained, workdir):
     from psld_tpu.config import compose

@@ -320,3 +320,55 @@ def test_em_sampler_deterministic_given_key():
     c = f(jax.random.PRNGKey(6), z)
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     assert not np.allclose(np.asarray(a), np.asarray(c))
+
+
+def test_guided_sampler_dynamic_label_matches_static():
+    """A traced-label guided sampler (one compiled program, label as a jit
+    argument) must reproduce the config-static sampler for every class."""
+    from psld_tpu.samplers.sde_samplers import ClassCondEulerMaruyamaSampler
+
+    cfg, sde = make_psld(n_steps=8)
+    score = psld_exact_score_fn(sde)
+    ts = make_timesteps(7, 1e-3)
+    z = sde.prior_sampling(jax.random.PRNGKey(0), (4, 2, 2, 1))
+
+    def clf_fn(x, t):
+        # label-dependent, x-dependent logits so guidance actually differs
+        feats = jnp.stack([x.mean((1, 2, 3)), x.std((1, 2, 3)),
+                           x[:, 0, 0, 0]], axis=-1)
+        return feats * jnp.asarray([1.0, -2.0, 3.0])
+
+    cc_cfg = ConfigDict(cfg.to_dict())
+    cc_cfg["clf"] = ConfigDict(
+        {"evaluation": {"label_to_sample": 0, "clf_temp": 5.0}})
+
+    def run_dyn(k, z, y):
+        s = ClassCondEulerMaruyamaSampler(cc_cfg, sde, score, clf_fn=clf_fn,
+                                          y=y)
+        return s.sample(k, z, ts, 7)
+
+    dyn = jax.jit(run_dyn)
+    outs = {}
+    for label in (0, 1, 2):
+        static = ClassCondEulerMaruyamaSampler(
+            ConfigDict({**cfg.to_dict(),
+                        "clf": {"evaluation": {"label_to_sample": label,
+                                               "clf_temp": 5.0}}}),
+            sde, score, clf_fn=clf_fn)
+        want = jax.jit(lambda k, z, s=static: s.sample(k, z, ts, 7))(
+            jax.random.PRNGKey(1), z)
+        got = dyn(jax.random.PRNGKey(1), z,
+                  jnp.asarray(label, jnp.int32))
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-5, atol=1e-6)
+        outs[label] = np.asarray(got)
+    # different labels steer differently
+    assert not np.allclose(outs[0], outs[1])
+
+
+def test_parse_label_spec():
+    from psld_tpu.eval.generate import _parse_label_spec
+
+    assert _parse_label_spec(3, 10) == [3]
+    assert _parse_label_spec("all", 4) == [0, 1, 2, 3]
+    assert _parse_label_spec("1,5,7", 10) == [1, 5, 7]
