@@ -51,7 +51,19 @@ def restore_checkpoint(path: str, abstract_state: Any) -> Any:
     with _checkpointer() as ckptr:
         target = jax.tree_util.tree_map(ocp.utils.to_shape_dtype_struct,
                                         abstract_state)
-        return ckptr.restore(os.path.abspath(path), target)
+        try:
+            return ckptr.restore(os.path.abspath(path), target)
+        except (ValueError, KeyError) as e:
+            # orbax's structure/shape mismatch errors don't say WHY the
+            # trees differ in user terms; the overwhelmingly common cause
+            # is model overrides that don't match the checkpoint's config
+            raise ValueError(
+                f"failed to restore {path!r} into the current model "
+                "structure -- the model overrides (nf, ch_mult, "
+                "num_res_blocks, attn_resolutions, fir, embedding_type, "
+                "progressive*, in/out_ch) must reproduce the architecture "
+                f"the checkpoint was trained with. Original error: {e}"
+            ) from e
 
 
 def epoch_from_path(path: str) -> int:
