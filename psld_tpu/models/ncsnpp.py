@@ -51,7 +51,24 @@ def _model_kwargs(config) -> dict:
         embedding_type=str(sf.embedding_type).lower(),
         init_scale=float(sf.init_scale),
         fourier_scale=float(sf.fourier_scale),
+        remat=bool(sf.get("remat", False)),
     )
+
+
+_REMAT_BLOCK_CLS: dict = {}
+
+
+def _remat_block_cls(cls):
+    """nn.remat-wrapped resblock class with the ORIGINAL class name --
+    flax derives auto-names (``ResnetBlockBigGAN_3``) from ``__name__``,
+    and the wrapper's default ``Checkpoint*`` name would shift every
+    parameter path (breaking checkpoint and torch-import compatibility).
+    static_argnums: (self, x, temb, train) -> ``train`` is static."""
+    if cls not in _REMAT_BLOCK_CLS:
+        wrapped = nn.remat(cls, static_argnums=(3,))
+        wrapped.__name__ = cls.__name__
+        _REMAT_BLOCK_CLS[cls] = wrapped
+    return _REMAT_BLOCK_CLS[cls]
 
 
 class _NCSNBase(nn.Module):
@@ -78,6 +95,11 @@ class _NCSNBase(nn.Module):
     embedding_type: str = "positional"
     init_scale: float = 0.0
     fourier_scale: float = 16.0
+    # per-RESBLOCK rematerialization: only one block's activations are live
+    # during the backward pass (whole-network jax.checkpoint was measured
+    # NOT to reduce peak HBM -- the full forward recomputes at once).
+    # Parameter paths are unchanged (nn.remat preserves module names).
+    remat: bool = False
 
     def _validate(self):
         assert self.progressive in ("none", "output_skip", "residual")
@@ -94,13 +116,17 @@ class _NCSNBase(nn.Module):
         return [self.image_size // (2**i) for i in range(len(self.ch_mult))]
 
     def _resnet_block(self, **kw):
-        if self.resblock_type == "ddpm":
-            return layers.ResnetBlockDDPM(
+        ddpm = self.resblock_type == "ddpm"
+        cls = layers.ResnetBlockDDPM if ddpm else layers.ResnetBlockBigGAN
+        if self.remat:
+            cls = _remat_block_cls(cls)
+        if ddpm:
+            return cls(
                 act=self.act, dropout=self.dropout,
                 init_scale=self.init_scale, skip_rescale=self.skip_rescale,
                 **{k: v for k, v in kw.items() if k not in ("up", "down")},
             )
-        return layers.ResnetBlockBigGAN(
+        return cls(
             act=self.act, dropout=self.dropout, fir=self.fir,
             fir_kernel=self.fir_kernel, init_scale=self.init_scale,
             skip_rescale=self.skip_rescale, **kw,
@@ -302,6 +328,7 @@ def _model_kwargs_clf(config) -> dict:
         embedding_type=str(cf.embedding_type).lower(),
         init_scale=float(cf.init_scale),
         fourier_scale=float(cf.fourier_scale),
+        remat=bool(cf.get("remat", False)),
         n_cls=int(cf.n_cls),
     )
     return kwargs

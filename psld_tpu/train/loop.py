@@ -32,7 +32,13 @@ logger = logging.getLogger(__name__)
 
 def build_score_model(config):
     net_cls = get_module("score_fn", config.model.score_fn.name)
-    return net_cls.from_config(config)
+    net = net_cls.from_config(config)
+    # training.remat enables per-resblock rematerialization (see
+    # models/ncsnpp.py `remat`); parameter paths are unchanged so eval /
+    # checkpoints are unaffected
+    if bool(config.training.get("remat", False)) and hasattr(net, "remat"):
+        net = net.clone(remat=True)
+    return net
 
 
 def build_sde(config):
@@ -234,6 +240,8 @@ def _train_clf(config, stop, max_steps: int | None = None):
     dataset = get_dataset(ccfg)
     clf_cls = get_module("clf_fn", ccfg.model.clf_fn.name)
     net = clf_cls.from_config(ccfg)
+    if bool(tcfg.get("remat", False)) and hasattr(net, "remat"):
+        net = net.clone(remat=True)
     sde = build_sde(config.diffusion)
     criterion = get_module("losses", tcfg.loss.name)(config, sde)
 

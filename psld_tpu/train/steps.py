@@ -40,21 +40,14 @@ def make_train_step(net, sde, criterion, config,
 
     optimizer = make_optimizer(config.training.optimizer)
 
-    # training.remat=True rematerializes the score-net forward in the
-    # backward pass (jax.checkpoint): ~1/3 more FLOPs for a large cut in
-    # activation HBM -- enables bigger per-chip batches. Numerically
-    # identical (tested), off by default like the reference.
-    remat = bool(config.training.get("remat", False))
-
-    def _apply(params, z, tt, rng):
-        return net.apply(params, z, tt, train=True, rngs={"dropout": rng})
-
-    if remat:
-        _apply = jax.checkpoint(_apply)
+    # training.remat acts at MODEL build time (per-resblock nn.remat, see
+    # build_score_model) -- whole-network jax.checkpoint here was measured
+    # NOT to reduce peak HBM (the full forward rematerializes at once)
 
     def loss_fn(params, batch, t, rng):
         def score_fn(z, tt):
-            return _apply(params, z, tt, rng)
+            return net.apply(params, z, tt, train=True,
+                             rngs={"dropout": rng})
 
         return criterion(batch, t, score_fn, rng)
 
@@ -144,17 +137,10 @@ def make_clf_train_step(net, sde, criterion, config,
 
     optimizer = make_optimizer(config.clf.training.optimizer)
 
-    remat = bool(config.clf.training.get("remat", False))
-
-    def _apply(params, z, tt, rng):
-        return net.apply(params, z, tt, train=True, rngs={"dropout": rng})
-
-    if remat:
-        _apply = jax.checkpoint(_apply)
-
     def loss_fn(params, x, y, t, rng):
         def clf_fn(z, tt):
-            return _apply(params, z, tt, rng)
+            return net.apply(params, z, tt, train=True,
+                             rngs={"dropout": rng})
 
         return criterion(x, y, t, clf_fn, rng)
 

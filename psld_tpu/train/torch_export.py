@@ -152,7 +152,7 @@ def save_lightning_checkpoint(path: str, state_dict: dict,
     import torch
 
     torch.save(
-        {"state_dict": {k: torch.from_numpy(np.ascontiguousarray(v))
+        {"state_dict": {k: torch.from_numpy(np.array(v, copy=True))
                         for k, v in state_dict.items()},
          "global_step": int(step), "epoch": 0},
         path)

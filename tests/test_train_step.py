@@ -238,13 +238,19 @@ def test_data_parallel_step_on_mesh():
 
 
 def test_remat_matches_baseline():
-    """training.remat=True (jax.checkpoint around the score net) must not
-    change the optimization: losses bitwise-equal, params near-identical."""
+    """Per-resblock remat (nn.remat, training.remat=True) must not change
+    parameter PATHS (checkpoint compatibility) nor the optimization:
+    losses bitwise-equal, params near-identical."""
     cfg, sde, net, criterion, params = tiny_setup()
     step_plain, opt = make_train_step(net, sde, criterion, cfg, donate=False)
 
-    cfg.training.remat = True
-    step_remat, _ = make_train_step(net, sde, criterion, cfg, donate=False)
+    net_r = net.clone(remat=True)
+    x0 = jax.random.normal(jax.random.PRNGKey(0), (2, 8, 8, 6), jnp.float32)
+    params_r = net_r.init(jax.random.PRNGKey(1), x0,
+                          jnp.full((2,), 0.5, jnp.float32))
+    assert (jax.tree_util.tree_structure(params_r)
+            == jax.tree_util.tree_structure(params))
+    step_remat, _ = make_train_step(net_r, sde, criterion, cfg, donate=False)
 
     batch = jax.random.normal(jax.random.PRNGKey(2), (8, 8, 8, 3),
                               jnp.float32)
