@@ -130,10 +130,22 @@ def test_read_png_batch_parallel(tmp_path):
 
 
 def test_read_png_unsupported_falls_loud(tmp_path):
-    rng = np.random.default_rng(9)
-    img16 = rng.integers(0, 65536, (8, 8), np.uint16)
+    """A 16-bit-depth PNG (hand-built header; PIL deprecated writing them)
+    must raise UnsupportedPng so callers fall back to PIL."""
+    import struct
+    import zlib
+
+    def chunk(typ, payload):
+        crc = zlib.crc32(typ + payload) & 0xFFFFFFFF
+        return struct.pack(">I", len(payload)) + typ + payload + struct.pack(
+            ">I", crc)
+
+    ihdr = struct.pack(">IIBBBBB", 8, 8, 16, 0, 0, 0, 0)  # depth 16, gray
     path = str(tmp_path / "deep.png")
-    Image.fromarray(img16, mode="I;16").save(path, "png")
+    with open(path, "wb") as f:
+        f.write(b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+                + chunk(b"IDAT", zlib.compress(bytes(8 * (1 + 16))))
+                + chunk(b"IEND", b""))
     with pytest.raises(native.UnsupportedPng):
         native.read_png_info(path)
 
