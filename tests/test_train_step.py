@@ -264,3 +264,12 @@ def test_remat_matches_baseline():
     for a, b in zip(jax.tree.leaves(s_a.params), jax.tree.leaves(s_b.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-6, atol=1e-7)
+
+
+def test_training_remat_flag_reaches_model():
+    from psld_tpu.train.loop import build_score_model
+
+    cfg, *_ = tiny_setup()
+    assert build_score_model(cfg).remat is False
+    cfg.training.remat = True
+    assert build_score_model(cfg).remat is True
