@@ -196,6 +196,15 @@ def class_cond_sample(config):
 
     param_source = prefix_source = None
     if len(labels) > 1:
+        per_step = int(dcfg.evaluation.batch_size) * make_mesh().devices.size
+        n_batches = -(-int(dcfg.evaluation.n_samples) // per_step)
+        if n_batches < len(labels):
+            logger.warning(
+                "label cycling is per dispatch batch: n_samples=%s fills "
+                "only %d batches for %d labels -- classes %s will NOT be "
+                "sampled (raise n_samples to >= %d for full coverage)",
+                dcfg.evaluation.n_samples, n_batches, len(labels),
+                labels[n_batches:], len(labels) * per_step)
         base_prefix = str(dcfg.evaluation.sample_prefix)
 
         def param_source(i, rep):
@@ -217,8 +226,16 @@ def _parse_label_spec(spec, n_cls: int) -> list:
     if s == "all":
         return list(range(n_cls))
     if "," in s:
-        return [int(x) for x in s.split(",") if x != ""]
-    return [int(s)]
+        labels = [int(x) for x in s.split(",") if x != ""]
+    else:
+        labels = [int(s)]
+    bad = [y for y in labels if not 0 <= y < n_cls]
+    if bad:
+        # with one_hot selection an out-of-range label would silently mean
+        # ZERO guidance (all-zeros row), not an index error -- fail loudly
+        raise ValueError(
+            f"label_to_sample {bad} out of range for n_cls={n_cls}")
+    return labels
 
 
 def _merged_eval_config(config):

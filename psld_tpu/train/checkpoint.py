@@ -54,15 +54,16 @@ def restore_checkpoint(path: str, abstract_state: Any) -> Any:
         try:
             return ckptr.restore(os.path.abspath(path), target)
         except (ValueError, KeyError) as e:
-            # orbax's structure/shape mismatch errors don't say WHY the
-            # trees differ in user terms; the overwhelmingly common cause
-            # is model overrides that don't match the checkpoint's config
+            # orbax's errors don't say WHY in user terms; the two common
+            # causes are architecture-mismatched overrides and a
+            # truncated/corrupt checkpoint (e.g. preempted mid-save)
             raise ValueError(
-                f"failed to restore {path!r} into the current model "
-                "structure -- the model overrides (nf, ch_mult, "
-                "num_res_blocks, attn_resolutions, fir, embedding_type, "
-                "progressive*, in/out_ch) must reproduce the architecture "
-                f"the checkpoint was trained with. Original error: {e}"
+                f"failed to restore {path!r}: either the model overrides "
+                "(nf, ch_mult, num_res_blocks, attn_resolutions, fir, "
+                "embedding_type, progressive*, in/out_ch) do not match the "
+                "architecture the checkpoint was trained with, or the "
+                "checkpoint itself is incomplete/corrupt. "
+                f"Original error: {e}"
             ) from e
 
 

@@ -33,12 +33,21 @@ logger = logging.getLogger(__name__)
 def build_score_model(config):
     net_cls = get_module("score_fn", config.model.score_fn.name)
     net = net_cls.from_config(config)
-    # training.remat enables per-resblock rematerialization (see
-    # models/ncsnpp.py `remat`); parameter paths are unchanged so eval /
-    # checkpoints are unaffected
-    if bool(config.training.get("remat", False)) and hasattr(net, "remat"):
-        net = net.clone(remat=True)
-    return net
+    return _apply_remat(net, config.training)
+
+
+def _apply_remat(net, tcfg):
+    """training.remat sets per-resblock rematerialization (see
+    models/ncsnpp.py `remat`; parameter paths unchanged). When present it
+    is AUTHORITATIVE -- it can also disable a model-level remat=true."""
+    flag = tcfg.get("remat", None)
+    if flag is None:
+        return net
+    if not hasattr(net, "remat"):
+        logger.warning("training.remat=%s ignored: %s has no remat support",
+                       flag, type(net).__name__)
+        return net
+    return net.clone(remat=bool(flag))
 
 
 def build_sde(config):
@@ -239,9 +248,7 @@ def _train_clf(config, stop, max_steps: int | None = None):
 
     dataset = get_dataset(ccfg)
     clf_cls = get_module("clf_fn", ccfg.model.clf_fn.name)
-    net = clf_cls.from_config(ccfg)
-    if bool(tcfg.get("remat", False)) and hasattr(net, "remat"):
-        net = net.clone(remat=True)
+    net = _apply_remat(clf_cls.from_config(ccfg), tcfg)
     sde = build_sde(config.diffusion)
     criterion = get_module("losses", tcfg.loss.name)(config, sde)
 

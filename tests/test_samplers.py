@@ -367,8 +367,15 @@ def test_guided_sampler_dynamic_label_matches_static():
 
 
 def test_parse_label_spec():
+    import pytest
+
     from psld_tpu.eval.generate import _parse_label_spec
 
     assert _parse_label_spec(3, 10) == [3]
     assert _parse_label_spec("all", 4) == [0, 1, 2, 3]
     assert _parse_label_spec("1,5,7", 10) == [1, 5, 7]
+    # out of range would mean silent ZERO guidance under one_hot -- loud
+    with pytest.raises(ValueError, match="out of range"):
+        _parse_label_spec(12, 10)
+    with pytest.raises(ValueError, match="out of range"):
+        _parse_label_spec("3,12", 10)

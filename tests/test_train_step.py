@@ -273,3 +273,7 @@ def test_training_remat_flag_reaches_model():
     assert build_score_model(cfg).remat is False
     cfg.training.remat = True
     assert build_score_model(cfg).remat is True
+    # training.remat is authoritative: it can DISABLE a model-level remat
+    cfg.training.remat = False
+    cfg.model.score_fn.remat = True
+    assert build_score_model(cfg).remat is False
