@@ -1,104 +1,10 @@
-"""Benchmark: CIFAR-10 img/sec/chip at 1000-NFE Euler--Maruyama sampling.
+"""Driver benchmark: CIFAR-10 img/sec/chip at 1000-NFE EM sampling.
 
-Runs the flagship SOTA CIFAR-10 PSLD configuration (NCSN++ nf=128,
-ch_mult=[2,2,2], 8 resblocks, FIR, Fourier embeddings, progressive_input=
-residual -- 97.6M params; scripts_psld/sota/uncond/cifar10/*.sh) through the
-full compiled EM sampler (single lax.scan, 1000 network evaluations) and
-reports throughput on one chip.
-
-Baseline for `vs_baseline`: the reference publishes no throughput numbers
-(BASELINE.md), so we use an explicit estimate of its 1000-NFE EM throughput
-on one V100: ~0.25 img/s (97M-param NCSN++ at batch 16, ~16 ms/fwd => 16 s
-per 16-image batch x 1000 steps). vs_baseline = value / 0.25; the driver
-north-star (>= 5x reference) corresponds to vs_baseline >= 5.
+Thin wrapper over :mod:`psld_tpu.eval.bench` (also installed as the
+``psld-bench`` console script). Prints ONE JSON line.
 """
 
-import json
-import time
-
-REF_GPU_IMG_PER_SEC = 0.25
-BATCH = 64
-NFE = 1000
-
-
-def main():
-    import psld_tpu
-
-    psld_tpu.enable_x64()
-    psld_tpu.setup_cache()
-    psld_tpu.import_modules_into_registry()
-
-    import jax
-    import jax.numpy as jnp
-
-    from psld_tpu.config import compose
-    from psld_tpu.registry import get_module
-    from psld_tpu.samplers import make_timesteps
-    from psld_tpu.train.loop import build_score_model, build_sde
-
-    cfg = compose([
-        "+dataset=cifar10/cifar10_psld",
-        "dataset.diffusion.data.root='/tmp'",
-        "dataset.diffusion.model.score_fn.ch_mult=[2,2,2]",
-        "dataset.diffusion.model.score_fn.num_res_blocks=8",
-        "dataset.diffusion.model.score_fn.attn_resolutions=[16]",
-        "dataset.diffusion.model.score_fn.dropout=0.15",
-        "dataset.diffusion.model.score_fn.progressive_input='residual'",
-        "dataset.diffusion.model.score_fn.fir=True",
-        "dataset.diffusion.model.score_fn.embedding_type='fourier'",
-        "dataset.diffusion.model.sde.nu=4.02",
-        "dataset.diffusion.model.sde.gamma=0.02",
-    ]).dataset.diffusion
-
-    sde = build_sde(cfg)
-    net = build_score_model(cfg)
-    x0 = jnp.zeros((BATCH, 32, 32, 6), jnp.float32)
-    t0 = jnp.full((BATCH,), 0.5, jnp.float32)
-
-    # Build params host-side from eval_shape: keeps the benchmark to a
-    # single on-device compilation (the sampler scan). Sampling throughput
-    # is value-independent (no data-dependent control flow).
-    import numpy as np
-
-    shapes = jax.eval_shape(net.init, jax.random.PRNGKey(0), x0, t0)
-    rng = np.random.default_rng(0)
-    params = jax.tree_util.tree_map(
-        lambda s: jnp.asarray(
-            rng.standard_normal(s.shape).astype(s.dtype) * 0.02
-        ),
-        shapes,
-    )
-
-    sampler_cls = get_module("samplers", "em_sde")
-    n_eff = NFE - 1  # denoise consumes one step (reference wrapper.py:51-54)
-    ts = make_timesteps(n_eff, 1e-3)
-
-    # params must be a jit ARGUMENT: closing over them would bake ~390MB of
-    # constants into the XLA program
-    def run(params, k, z):
-        sampler = sampler_cls(
-            cfg, sde, lambda zz, tt: net.apply(params, zz, tt))
-        return sampler.sample(k, z, ts, n_eff, denoise=True, eps=1e-3)
-
-    sample = jax.jit(run)
-
-    z = sde.prior_sampling(jax.random.PRNGKey(1), (BATCH, 32, 32, 3))
-    # compile + warmup; time via a host fetch of the result -- on tunneled
-    # runtimes block_until_ready can return before execution finishes, so
-    # only materializing the value gives a trustworthy wall-clock
-    np.asarray(sample(params, jax.random.PRNGKey(2), z))
-    t_start = time.time()
-    np.asarray(sample(params, jax.random.PRNGKey(3), z))
-    elapsed = time.time() - t_start
-
-    value = BATCH / elapsed
-    print(json.dumps({
-        "metric": "CIFAR-10 img/sec/chip at 1000-NFE EM sampling",
-        "value": round(value, 4),
-        "unit": "img/s",
-        "vs_baseline": round(value / REF_GPU_IMG_PER_SEC, 2),
-    }))
-
+from psld_tpu.eval.bench import main
 
 if __name__ == "__main__":
     main()
