@@ -46,14 +46,15 @@ class SamplerService:
 
         self.config = config
         ecfg = config.evaluation
-        self.sde = build_sde(config)
-        net, params = load_eval_state(config)
         sampler_cls = get_module("samplers", str(ecfg.sampler.name))
         if getattr(sampler_cls, "host_loop", False) or \
                 str(ecfg.sampler.name) == "bb_ode":
+            # fail fast -- before loading a 100M-param checkpoint
             raise ValueError(
                 "serving requires an on-device sampler (em_sde, sscs_sde, "
                 "rk_ode, adaptive_ode); bb_ode runs a SciPy host loop")
+        self.sde = build_sde(config)
+        net, params = load_eval_state(config)
 
         self.denoise = bool(ecfg.denoise)
         n_steps = int(ecfg.n_discrete_steps)
