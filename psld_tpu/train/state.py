@@ -23,6 +23,24 @@ class TrainState:
     opt_state: Any
 
 
+def _decay_mask(params):
+    """Exclude frozen leaves from adamw weight decay.
+
+    GaussianFourierProjection.W is a fixed buffer in the reference
+    (requires_grad=False, layerspp.py:32-41); it lives in `params` here for
+    uniform pytree handling, so it must be masked out of decay or a
+    weight_decay>0 run would silently drift the frozen embedding.
+    """
+    def keep(path, _leaf):
+        return not any(
+            getattr(k, "key", None) is not None
+            and str(k.key).startswith("GaussianFourierProjection")
+            for k in path
+        )
+
+    return jax.tree_util.tree_map_with_path(keep, params)
+
+
 def make_optimizer(opt_config) -> optax.GradientTransformation:
     """Adam + warmup + global-norm clip (reference wrapper.py:128-155)."""
     if opt_config.name != "Adam":
@@ -47,6 +65,7 @@ def make_optimizer(opt_config) -> optax.GradientTransformation:
         b2=float(opt_config.beta_2),
         eps=float(opt_config.eps),
         weight_decay=float(opt_config.weight_decay),
+        mask=_decay_mask,
     ) if float(opt_config.weight_decay) else optax.adam(
         schedule,
         b1=float(opt_config.beta_1),

@@ -185,6 +185,42 @@ def test_ema_tracks_params():
     )
 
 
+def test_weight_decay_skips_frozen_fourier_W():
+    """With weight_decay>0 (adamw), the frozen GaussianFourierProjection.W
+    buffer must be bitwise unchanged after a step (it has zero grad via
+    stop_gradient, so only decay could move it)."""
+    cfg, sde, net, criterion, params = tiny_setup()
+    cfg.model.score_fn.embedding_type = "fourier"
+    cfg.training.optimizer.weight_decay = 0.1
+    net = NCSNpp.from_config(cfg)
+    x0 = jax.random.normal(jax.random.PRNGKey(0), (2, 8, 8, 6), jnp.float32)
+    params = net.init(jax.random.PRNGKey(1), x0,
+                      jnp.full((2,), 0.5, jnp.float32))
+
+    def fourier_w(p):
+        flat = jax.tree_util.tree_flatten_with_path(p)[0]
+        ws = [leaf for path, leaf in flat
+              if any("GaussianFourierProjection" in str(getattr(k, "key", ""))
+                     for k in path)]
+        assert len(ws) == 1
+        return np.asarray(ws[0])
+
+    step_fn, optimizer = make_train_step(net, sde, criterion, cfg,
+                                         donate=False)
+    state = init_state(params, optimizer)
+    w0 = fourier_w(state.params).copy()
+    batch = jax.random.normal(jax.random.PRNGKey(2), (8, 8, 8, 3),
+                              jnp.float32)
+    for _ in range(3):
+        state, _ = step_fn(state, batch, jax.random.PRNGKey(3))
+    np.testing.assert_array_equal(fourier_w(state.params), w0)
+    # sanity: decay is actually on for the rest of the net — some other
+    # leaf moved
+    assert not np.array_equal(
+        np.asarray(jax.tree_util.tree_leaves(state.params)[0]),
+        np.asarray(jax.tree_util.tree_leaves(params)[0]))
+
+
 def test_warmup_schedule():
     opt_cfg = ConfigDict({"name": "Adam", "lr": 1.0, "beta_1": 0.9,
                           "beta_2": 0.999, "weight_decay": 0, "eps": 1e-8,
