@@ -13,9 +13,14 @@ def test_run_bench_smoke(monkeypatch):
     from psld_tpu.eval.bench import run_bench
 
     out = run_bench()
-    assert set(out) == {"metric", "value", "unit", "vs_baseline"}
+    assert {"metric", "value", "unit", "vs_baseline",
+            "baseline_is_estimate"} <= set(out)
     assert out["unit"] == "img/s"
     assert out["value"] > 0
+    assert out["baseline_is_estimate"] is True
+    if "mfu_vs_v5e_bf16_peak" in out:
+        assert out["program_tflops"] >= 0
+        assert out["mfu_vs_v5e_bf16_peak"] >= 0
     json.dumps(out)  # JSON-serializable
 
 
