@@ -46,6 +46,25 @@ def make_score_fn(net, params):
     return lambda z, t: net.apply(params, z, t)
 
 
+def _rank_info(config):
+    """(rank, num_processes) for sampling fan-out.
+
+    Defaults to the jax process topology; ``evaluation.rank`` /
+    ``evaluation.num_processes`` override it (tests, external launchers).
+    Mirrors the reference's Lightning DDP predict where each of 8 ranks
+    writes its own files (callbacks.py:98-122)."""
+    ecfg = config.evaluation
+    rank = int(ecfg.get("rank", -1))
+    nproc = int(ecfg.get("num_processes", 0))
+    if nproc <= 0:
+        nproc = jax.process_count()
+    if rank < 0:
+        rank = jax.process_index()
+    if not rank < nproc:
+        raise ValueError(f"rank {rank} out of range for {nproc} processes")
+    return rank, nproc
+
+
 def _run_sampler(config, sde, sampler_factory, params, writer, batch_source,
                  write_extra_batch: bool = False, param_source=None,
                  prefix_source=None):
@@ -56,7 +75,21 @@ def _run_sampler(config, sde, sampler_factory, params, writer, batch_source,
     ``param_source(batch_idx, replicated_params)`` may swap cheap per-batch
     leaves (e.g. the guidance label) into the jit arguments without
     recompiling; ``prefix_source(batch_idx)`` may retarget the writer's
-    sample prefix per batch (label-tagged filenames)."""
+    sample prefix per batch (label-tagged filenames).
+
+    Fan-out mechanics:
+    - Every device dispatch is the full ``batch_size * n_devices`` width;
+      tail batches are generated full-width and sliced host-side, so a
+      non-divisible n_samples causes NO recompile and stays sharded.
+    - Writes are double-buffered: batch k+1 is dispatched before batch k's
+      result is fetched and PNG-encoded, overlapping host encoding with
+      device compute.
+    - Multi-process: each rank takes ceil(n_samples / num_processes)
+      samples, derives its RNG stream via fold_in(seed, rank) (mirroring
+      the reference's seed_everything(seed + global_rank),
+      wrapper.py:93-99), and writes rank-tagged filenames; nothing is
+      gathered across processes.
+    """
     ecfg = config.evaluation
     denoise = bool(ecfg.denoise)
     n_steps = int(ecfg.n_discrete_steps)
@@ -66,9 +99,12 @@ def _run_sampler(config, sde, sampler_factory, params, writer, batch_source,
 
     mesh = make_mesh()
     per_step = int(ecfg.batch_size) * mesh.devices.size
-    n_samples = int(ecfg.n_samples)
+    rank, nproc = _rank_info(config)
+    n_samples = -(-int(ecfg.n_samples) // nproc)  # this rank's share
     seed = int(ecfg.seed)
     key = jax.random.PRNGKey(seed)
+    if nproc > 1:
+        key = jax.random.fold_in(key, rank)
     params = replicate(params, mesh)
 
     sampler_name = str(ecfg.sampler.name)
@@ -91,34 +127,53 @@ def _run_sampler(config, sde, sampler_factory, params, writer, batch_source,
     written = 0
     batch_idx = 0
     total_nfe = 0
-    while written < n_samples:
-        bs = min(per_step, n_samples - written)
+    pending = None  # (out_dev, batch_np, take, batch_idx, prefix)
+
+    def drain():
+        """Fetch + write the previous batch (device already runs the next)."""
+        nonlocal written, total_nfe, pending
+        out, batch_np, take, b_idx, prefix = pending
+        pending = None
+        if reports_nfe:
+            out, nfe = out
+            total_nfe += int(nfe)
+        out_np = np.asarray(out)[:take]
+        if prefix is not None:
+            writer.sample_prefix = prefix
+        if write_extra_batch:
+            writer.write_batch(out_np, rank=rank, batch_idx=b_idx,
+                               batch=batch_np)
+        else:
+            writer.write_batch(out_np, rank=rank, batch_idx=b_idx)
+        written += take
+        if (b_idx + 1) % 10 == 0:
+            logger.info("sampled %d / %d", written, n_samples)
+
+    while written + (pending[2] if pending else 0) < n_samples:
+        take = min(per_step,
+                   n_samples - written - (pending[2] if pending else 0))
         k_batch = jax.random.fold_in(key, batch_idx)
-        batch = batch_source(k_batch, bs, batch_idx)
-        if not is_host_loop and bs == per_step:
-            batch = shard_batch(batch, mesh)
-        if prefix_source is not None:
-            writer.sample_prefix = prefix_source(batch_idx)
         if is_host_loop:
+            # SciPy host loop: no XLA recompile concern, keep exact widths
+            batch = batch_source(k_batch, take, batch_idx, rank, nproc)
             out = sampler.sample(k_batch, batch, ts, n_eff, denoise=denoise,
                                  eps=float(ecfg.eval_eps))
         else:
+            # full-width dispatch + host-side slice (serve/server.py mechanism)
+            batch = batch_source(k_batch, per_step, batch_idx, rank, nproc)
+            batch = shard_batch(batch, mesh)
             p = params if param_source is None else param_source(batch_idx,
                                                                  params)
             out = sample_jit(p, k_batch, batch)
-            if reports_nfe:
-                out, nfe = out
-                total_nfe += int(nfe)
-        out_np = np.asarray(out)
-        if write_extra_batch:
-            writer.write_batch(out_np, rank=0, batch_idx=batch_idx,
-                               batch=tuple(np.asarray(b) for b in batch))
-        else:
-            writer.write_batch(out_np, rank=0, batch_idx=batch_idx)
-        written += bs
+        prefix = None if prefix_source is None else prefix_source(batch_idx)
+        batch_np = (tuple(np.asarray(b)[:take] for b in batch)
+                    if write_extra_batch else None)
+        if pending is not None:
+            drain()  # overlaps with the dispatch above
+        pending = (out, batch_np, take, batch_idx, prefix)
         batch_idx += 1
-        if batch_idx % 10 == 0:
-            logger.info("sampled %d / %d", written, n_samples)
+    if pending is not None:
+        drain()
     if is_host_loop:
         logger.info("bb_ode mean NFE: %.1f", sampler.mean_nfe)
     if reports_nfe and batch_idx:
@@ -126,10 +181,14 @@ def _run_sampler(config, sde, sampler_factory, params, writer, batch_source,
     return written
 
 
-def sample(config):
-    """Unconditional generation (reference eval/sample.py:28-109)."""
+def sample(config, preloaded=None):
+    """Unconditional generation (reference eval/sample.py:28-109).
+
+    ``preloaded=(net, params)`` skips the checkpoint restore -- used by
+    sweep drivers that sample the same weights under many sampler/NFE
+    configurations."""
     sde = build_sde(config)
-    net, params = load_eval_state(config)
+    net, params = preloaded if preloaded else load_eval_state(config)
     sampler_cls = get_module("samplers", str(config.evaluation.sampler.name))
 
     def sampler_factory(p):
@@ -145,7 +204,7 @@ def sample(config):
     )
     latent = SDELatentDataset(sde, config)
 
-    def batch_source(key, bs, batch_idx):
+    def batch_source(key, bs, batch_idx, rank, nproc):
         return latent.sample_batch(key, bs)
 
     return _run_sampler(config, sde, sampler_factory, params, writer,
@@ -191,7 +250,7 @@ def class_cond_sample(config):
     )
     latent = SDELatentDataset(sde, dcfg)
 
-    def batch_source(key, bs, batch_idx):
+    def batch_source(key, bs, batch_idx, rank, nproc):
         return latent.sample_batch(key, bs)
 
     param_source = prefix_source = None
@@ -269,9 +328,11 @@ def inpaint(config):
     base = get_dataset(config)
     dataset = InpaintDataset(config, base)
 
-    def batch_source(key, bs, batch_idx):
+    def batch_source(key, bs, batch_idx, rank, nproc):
+        # rank-interleaved dataset shard, mirroring the reference's
+        # DistributedSampler split across predict ranks
         start = batch_idx * bs
-        idxs = np.arange(start, start + bs) % len(dataset)
+        idxs = (np.arange(start, start + bs) * nproc + rank) % len(dataset)
         imgs, masks = dataset.batch(idxs)
         return jnp.asarray(imgs), jnp.asarray(masks)
 
