@@ -103,6 +103,43 @@ def test_inception_deterministic(params):
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_inception_gold_graph_vs_torch_oracle(tmp_path):
+    """Numerical gold test of the assembled 2048-d pool3 graph.
+
+    A random state_dict with the exact pt_inception-2015-12-05 key names is
+    saved to .pth, loaded through load_torch_checkpoint (BN folding), and
+    the JAX forward is compared feature-for-feature against an independent
+    plain-torch transcription of the FID InceptionV3 (inception_oracle.py)
+    running conv->BN->relu unfolded. Any wiring error -- swapped branch,
+    wrong stride/pad, wrong pool semantics, wrong resize -- shifts features
+    far beyond the tolerance."""
+    from inception_oracle import FIDInceptionOracle, random_state_dict
+
+    from psld_tpu.eval.fid import load_torch_checkpoint
+
+    sd = random_state_dict(seed=0)
+    path = tmp_path / "pt_inception-2015-12-05-test.pth"
+    torch.save(sd, path)
+    params_jax = load_torch_checkpoint(str(path))
+
+    oracle = FIDInceptionOracle()
+    oracle.load_state_dict(sd, strict=True)
+    oracle.eval()
+
+    rng = np.random.default_rng(7)
+    for shape, resize in (((3, 32, 32, 3), True), ((2, 299, 299, 3), False)):
+        imgs = rng.random(shape, dtype=np.float32)
+        got = np.asarray(
+            extract_features(params_jax, jnp.asarray(imgs), resize=resize))
+        want = oracle(torch.from_numpy(imgs.transpose(0, 3, 1, 2)),
+                      resize=resize).numpy()
+        assert got.shape == want.shape == (shape[0], FID_DIM)
+        scale = float(np.abs(want).mean())
+        np.testing.assert_allclose(got, want, rtol=2e-3,
+                                   atol=2e-3 * scale,
+                                   err_msg=f"shape={shape} resize={resize}")
+
+
 def test_fid_cli_on_dirs(tmp_path, params, monkeypatch):
     """End-to-end through the CLI with random weights: FID(X, X) = 0 and
     FID(X, Y) > 0."""
