@@ -1,0 +1,96 @@
+"""Speed-vs-quality sweep: sampler x NFE x stride -> JSONL.
+
+Productizes the paper's FID-vs-NFE study (the reference runs it by hand,
+editing n_discrete_steps in
+scripts_psld/sota/uncond/cifar10/sample_uncond_psld.sh:31-33 between runs):
+one command samples the same checkpoint under every requested
+(sampler, NFE, stride) combination and emits one JSON line per combination
+with throughput plus whatever quality metric the host can compute --
+FID when Inception weights are supplied, weight-free pixel statistics
+against a reference directory otherwise.
+
+Compile-cost note for tunneled TPU backends: programs are cached per
+(sampler, NFE) -- stride changes only the timestep VALUES, not shapes, so
+adding strides is free; adding NFEs costs one compile each.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import os
+import time
+
+logger = logging.getLogger(__name__)
+
+
+def _quality_metrics(gen_dir, ref_dir, ref_stats, weights, batch):
+    out = {}
+    if ref_dir:
+        from psld_tpu.eval.pixel_stats import compare_dirs
+
+        out["pixel_stats"] = compare_dirs(gen_dir, ref_dir)
+    if weights:
+        from psld_tpu.cli.fid import compute_moments
+        from psld_tpu.eval.fid import (frechet_distance, load_stats,
+                                       load_torch_checkpoint,
+                                       make_feature_fn)
+
+        feature_fn = make_feature_fn(load_torch_checkpoint(weights))
+        mu1, cov1 = compute_moments(gen_dir, feature_fn, batch).finalize()
+        if ref_stats:
+            mu2, cov2 = load_stats(ref_stats)
+        elif ref_dir:
+            mu2, cov2 = compute_moments(ref_dir, feature_fn,
+                                        batch).finalize()
+        else:
+            raise ValueError("FID needs --ref-dir or --ref-stats")
+        out["fid"] = float(frechet_distance(mu1, cov1, mu2, cov2))
+    return out
+
+
+def run_sweep(config, samplers, nfes, strides, out_dir, ref_dir=None,
+              ref_stats=None, weights=None, fid_batch=64) -> list:
+    """Sample `config`'s checkpoint under every combination; returns the
+    list of result records (also appended to <out_dir>/sweep.jsonl)."""
+    from psld_tpu.config import ConfigDict
+    from psld_tpu.eval.generate import load_eval_state, sample
+
+    preloaded = load_eval_state(config)
+    os.makedirs(out_dir, exist_ok=True)
+    jsonl = os.path.join(out_dir, "sweep.jsonl")
+    results = []
+    for sampler_name in samplers:
+        for nfe in nfes:
+            for stride in strides:
+                cfg = ConfigDict(config.to_dict())
+                ecfg = cfg.evaluation
+                ecfg.sampler.name = sampler_name
+                ecfg.n_discrete_steps = int(nfe)
+                ecfg.stride_type = stride
+                tag = f"{sampler_name}_nfe{nfe}_{stride}"
+                save = os.path.join(out_dir, tag)
+                ecfg.save_path = save
+                logger.info("sweep: %s", tag)
+                t0 = time.time()
+                n = sample(cfg, preloaded=preloaded)
+                elapsed = time.time() - t0
+                rec = {
+                    "sampler": sampler_name,
+                    "nfe": int(nfe),
+                    "stride": stride,
+                    "n_samples": int(n),
+                    "elapsed_s": round(elapsed, 3),
+                    "img_per_s": round(n / elapsed, 4) if elapsed else None,
+                }
+                gen_dir = os.path.join(save, "images")
+                try:
+                    rec.update(_quality_metrics(gen_dir, ref_dir, ref_stats,
+                                                weights, fid_batch))
+                except Exception as e:  # quality is best-effort per combo
+                    rec["quality_error"] = str(e)
+                results.append(rec)
+                with open(jsonl, "a") as f:
+                    f.write(json.dumps(rec) + "\n")
+                print(json.dumps(rec), flush=True)
+    return results
