@@ -92,17 +92,28 @@ def run_bench(batch: int | None = None, nfe: int | None = None) -> dict:
 
     z = sde.prior_sampling(jax.random.PRNGKey(1), (batch, 32, 32, 3))
 
-    # FLOP count of the whole sampling program from the XLA cost model on
-    # the lowered (not backend-compiled) HLO -- host-side, no extra device
-    # compile. Best-effort: some backends/versions don't expose it.
-    program_flops = None
+    # Model-FLOPs for MFU: XLA cost model of ONE network forward at this
+    # batch (host-side lowering, no device compile), times the nfe network
+    # evaluations in the program. NOTE the cost model counts a lax.scan
+    # body once regardless of trip count, so the scan program itself can't
+    # be queried directly. Remote backends (axon) return None from
+    # client-side cost analysis -- fall back to a CPU-jax subprocess.
+    fwd = jax.jit(lambda p, x, t: net.apply(p, x, t))
+    t_bench = jnp.full((batch,), 0.5, jnp.float32)
+    fwd_flops = None
     try:
-        cost = sample.lower(params, jax.random.PRNGKey(3), z).cost_analysis()
+        cost = fwd.lower(shapes, z, t_bench).cost_analysis()
         if isinstance(cost, (list, tuple)):
             cost = cost[0]
-        program_flops = float(cost["flops"])
+        if cost is not None:
+            fwd_flops = float(cost["flops"])
     except Exception:
         pass
+    if os.environ.get("PSLD_BENCH_COST_ONLY"):
+        return {"cost_only": True, "flops": fwd_flops}
+    if fwd_flops is None:
+        fwd_flops = _cost_via_cpu_subprocess(batch, nfe, nf)
+    program_flops = fwd_flops * nfe if fwd_flops else None
     # compile + warmup; time via a host fetch of the result -- on tunneled
     # runtimes block_until_ready can return before execution finishes, so
     # only materializing the value gives a trustworthy wall-clock
@@ -124,12 +135,40 @@ def run_bench(batch: int | None = None, nfe: int | None = None) -> dict:
     }
     if program_flops is not None:
         # Model FLOP utilization vs one v5e chip's bf16 peak (197 TFLOP/s,
-        # public spec). The XLA cost model counts the program's actual ops.
+        # public spec): nfe network forwards, EM-update overhead excluded.
         v5e_peak = 197e12
+        out["model_tflops_per_fwd"] = round(fwd_flops / 1e12, 6)
         out["program_tflops"] = round(program_flops / 1e12, 6)
         out["mfu_vs_v5e_bf16_peak"] = round(
             program_flops / elapsed / v5e_peak, 6)
     return out
+
+
+def _cost_via_cpu_subprocess(batch: int, nfe: int, nf: int):
+    """Lower the identical program on CPU jax (tracing only, no compile) to
+    read the XLA cost model's flops -- used when the device backend (axon)
+    returns None from client-side cost analysis. Returns None on failure."""
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    env = dict(os.environ,
+               PSLD_BENCH_COST_ONLY="1",
+               JAX_PLATFORMS="cpu",
+               # drop the axon sitecustomize so JAX_PLATFORMS=cpu sticks
+               PYTHONPATH=repo,
+               PSLD_BENCH_BATCH=str(batch),
+               PSLD_BENCH_NFE=str(nfe),
+               PSLD_BENCH_NF=str(nf))
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-m", "psld_tpu.eval.bench"],
+            env=env, capture_output=True, text=True, timeout=900)
+        line = proc.stdout.strip().splitlines()[-1]
+        return json.loads(line).get("flops")
+    except Exception:
+        return None
 
 
 def main():

@@ -112,12 +112,22 @@ class SamplerService:
         t0 = time.time()
         written = 0
         batch_idx = 0
+        pending = None  # (device_out, take, batch_idx): double-buffer --
+        # dispatch batch k+1 before fetching/encoding batch k
         while written < n:
-            out = np.asarray(self._request_batch(seed, batch_idx))
             take = min(self.per_step, n - written)
-            writer.write_batch(out[:take], rank=rid, batch_idx=batch_idx)
+            out = self._request_batch(seed, batch_idx)
+            if pending is not None:
+                p_out, p_take, p_idx = pending
+                writer.write_batch(np.asarray(p_out)[:p_take], rank=rid,
+                                   batch_idx=p_idx)
+            pending = (out, take, batch_idx)
             written += take
             batch_idx += 1
+        if pending is not None:
+            p_out, p_take, p_idx = pending
+            writer.write_batch(np.asarray(p_out)[:p_take], rank=rid,
+                               batch_idx=p_idx)
         elapsed = time.time() - t0
         return {"written": written, "batches": batch_idx,
                 "request_id": rid,

@@ -26,6 +26,17 @@ def bench_suite(batches):
         print(json.dumps(out), flush=True)
 
 
+def _flops_of(jitted, *args):
+    """XLA cost-model flops of the lowered program (client-side; returns
+    None on backends like axon that don't expose it)."""
+    try:
+        cost = jitted.lower(*args).cost_analysis()
+        cost = cost[0] if isinstance(cost, (list, tuple)) else cost
+        return float(cost["flops"]) if cost is not None else None
+    except Exception:
+        return None
+
+
 def train_step_suite(batch=128):
     import os
 
@@ -89,12 +100,9 @@ def train_step_suite(batch=128):
         s, m = multi_fn(s, data, rng)
     _ = float(m["loss"][-1])
     dt = (time.time() - t) / (2 * K)
-    try:
-        cost = multi_fn.lower(state, data, rng).cost_analysis()
-        cost = cost[0] if isinstance(cost, (list, tuple)) else cost
-        flops = float(cost["flops"]) / K
-    except Exception:
-        flops = None
+    # the XLA cost model counts a lax.scan body ONCE regardless of trip
+    # count, so the K-step program's flops ARE the per-step flops
+    flops = _flops_of(multi_fn, state, data, rng)
     rec = {"phase": f"train_step_bs{batch}", "ms": round(dt * 1e3, 1),
            "img_per_s": round(batch / dt, 1)}
     if flops:
@@ -122,12 +130,7 @@ def train_step_suite(batch=128):
         out = fwd(params, out)
     _ = np.asarray(out)[0, 0, 0, 0]
     dt_f = (time.time() - t) / (2 * K)
-    try:
-        cost = fwd.lower(params, xb).cost_analysis()
-        cost = cost[0] if isinstance(cost, (list, tuple)) else cost
-        fflops = float(cost["flops"]) / K
-    except Exception:
-        fflops = None
+    fflops = _flops_of(fwd, params, xb)  # scan body counted once: per-fwd
     rec = {"phase": f"fwd_bs{batch}", "ms": round(dt_f * 1e3, 2)}
     if fflops:
         rec["program_tflops"] = round(fflops / 1e12, 3)
