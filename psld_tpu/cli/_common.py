@@ -24,3 +24,20 @@ def bootstrap(argv=None):
     from psld_tpu.config import compose
 
     return compose(sys.argv[1:] if argv is None else list(argv))
+
+
+def console(fn):
+    """Console-script wrapper for a value-returning ``main``.
+
+    ``pip``'s generated entry point runs ``sys.exit(main())``; our mains
+    return useful values for tests and library callers (sample counts,
+    FID floats, train states), which sys.exit would turn into a non-zero
+    exit status (or print to stderr). The wrapper swallows the value.
+    """
+    import functools
+
+    @functools.wraps(fn)
+    def cli(*args, **kwargs):
+        fn(*args, **kwargs)
+
+    return cli

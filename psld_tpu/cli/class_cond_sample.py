@@ -1,7 +1,7 @@
 """Classifier-guided sampling entry point
 (reference main/eval/class_cond_sample.py)."""
 
-from psld_tpu.cli._common import bootstrap
+from psld_tpu.cli._common import bootstrap, console as _console
 
 
 def main(argv=None):
@@ -9,6 +9,9 @@ def main(argv=None):
     from psld_tpu.eval.generate import class_cond_sample
 
     return class_cond_sample(cfg.dataset)
+
+
+cli = _console(main)
 
 
 if __name__ == "__main__":

@@ -59,6 +59,9 @@ def input_stats(path: str, feature_fn, batch: int, save_to: str | None):
     return moments.finalize()
 
 
+from psld_tpu.cli._common import console as _console
+
+
 def main(argv=None):
     import psld_tpu
 
@@ -97,6 +100,9 @@ def main(argv=None):
     fid = frechet_distance(mu1, s1, mu2, s2)
     print(f"frechet_inception_distance: {fid:.6f}")
     return fid
+
+
+cli = _console(main)
 
 
 if __name__ == "__main__":

@@ -15,7 +15,7 @@ Prints and returns the mean bits/dim (exact for VP-SDE; CLD-style
 variational upper bound for the augmented PSLD state).
 """
 
-from psld_tpu.cli._common import bootstrap
+from psld_tpu.cli._common import bootstrap, console as _console
 
 
 def main(argv=None):
@@ -25,6 +25,9 @@ def main(argv=None):
     bpd = evaluate_nll(cfg.dataset.diffusion)
     print(f"nll: {bpd:.4f} bits/dim")
     return bpd
+
+
+cli = _console(main)
 
 
 if __name__ == "__main__":

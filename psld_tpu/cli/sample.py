@@ -1,6 +1,6 @@
 """Unconditional sampling entry point (reference main/eval/sample.py)."""
 
-from psld_tpu.cli._common import bootstrap
+from psld_tpu.cli._common import bootstrap, console as _console
 
 
 def main(argv=None):
@@ -8,6 +8,9 @@ def main(argv=None):
     from psld_tpu.eval.generate import sample
 
     return sample(cfg.dataset.diffusion)
+
+
+cli = _console(main)
 
 
 if __name__ == "__main__":

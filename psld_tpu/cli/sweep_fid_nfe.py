@@ -21,6 +21,8 @@ from __future__ import annotations
 import argparse
 import sys
 
+from psld_tpu.cli._common import console as _console
+
 
 def main(argv=None):
     parser = argparse.ArgumentParser(description=__doc__)
@@ -55,6 +57,9 @@ def main(argv=None):
         weights=args.weights,
         fid_batch=args.fid_batch,
     )
+
+
+cli = _console(main)
 
 
 if __name__ == "__main__":

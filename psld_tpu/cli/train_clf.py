@@ -1,7 +1,7 @@
 """Noise-conditional classifier training entry point
 (reference main/train_clf.py)."""
 
-from psld_tpu.cli._common import bootstrap
+from psld_tpu.cli._common import bootstrap, console as _console
 
 
 def main(argv=None):
@@ -9,6 +9,9 @@ def main(argv=None):
     from psld_tpu.train.loop import train_clf
 
     return train_clf(cfg.dataset)
+
+
+cli = _console(main)
 
 
 if __name__ == "__main__":

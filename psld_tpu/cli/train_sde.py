@@ -5,7 +5,7 @@
         dataset.diffusion.data.root=... dataset.diffusion.training.results_dir=...
 """
 
-from psld_tpu.cli._common import bootstrap
+from psld_tpu.cli._common import bootstrap, console as _console
 
 
 def main(argv=None):
@@ -13,6 +13,9 @@ def main(argv=None):
     from psld_tpu.train.loop import train_sde
 
     return train_sde(cfg.dataset.diffusion)
+
+
+cli = _console(main)
 
 
 if __name__ == "__main__":

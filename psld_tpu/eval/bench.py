@@ -64,11 +64,37 @@ def run_bench(batch: int | None = None, nfe: int | None = None) -> dict:
     net = build_score_model(cfg)
     x0 = jnp.zeros((batch, 32, 32, 6), jnp.float32)
     t0 = jnp.full((batch,), 0.5, jnp.float32)
+    shapes = jax.eval_shape(net.init, jax.random.PRNGKey(0), x0, t0)
+
+    # Model-FLOPs for MFU: XLA cost model of ONE network forward at this
+    # batch (host-side lowering, no device compile, abstract args only),
+    # times the nfe network evaluations in the program. NOTE the cost
+    # model counts a lax.scan body once regardless of trip count, so the
+    # scan program itself can't be queried directly. Remote backends
+    # (axon) return None from client-side cost analysis -- fall back to a
+    # CPU-jax subprocess running this same function with
+    # PSLD_BENCH_COST_ONLY=1 (which returns right here, before any
+    # parameter materialization).
+    fwd = jax.jit(lambda p, x, t: net.apply(p, x, t))
+    z_abs = jax.ShapeDtypeStruct((batch, 32, 32, 6), jnp.float32)
+    fwd_flops = None
+    try:
+        cost = fwd.lower(shapes, z_abs, t0).cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        if cost is not None:
+            fwd_flops = float(cost["flops"])
+    except Exception:
+        pass
+    if os.environ.get("PSLD_BENCH_COST_ONLY"):
+        return {"cost_only": True, "flops": fwd_flops}
+    if fwd_flops is None:
+        fwd_flops = _cost_via_cpu_subprocess(batch, nfe, nf)
+    program_flops = fwd_flops * nfe if fwd_flops else None
 
     # Build params host-side from eval_shape: keeps the benchmark to a
     # single on-device compilation (the sampler scan). Sampling throughput
     # is value-independent (no data-dependent control flow).
-    shapes = jax.eval_shape(net.init, jax.random.PRNGKey(0), x0, t0)
     rng = np.random.default_rng(0)
     params = jax.tree_util.tree_map(
         lambda s: jnp.asarray(
@@ -91,29 +117,6 @@ def run_bench(batch: int | None = None, nfe: int | None = None) -> dict:
     sample = jax.jit(run)
 
     z = sde.prior_sampling(jax.random.PRNGKey(1), (batch, 32, 32, 3))
-
-    # Model-FLOPs for MFU: XLA cost model of ONE network forward at this
-    # batch (host-side lowering, no device compile), times the nfe network
-    # evaluations in the program. NOTE the cost model counts a lax.scan
-    # body once regardless of trip count, so the scan program itself can't
-    # be queried directly. Remote backends (axon) return None from
-    # client-side cost analysis -- fall back to a CPU-jax subprocess.
-    fwd = jax.jit(lambda p, x, t: net.apply(p, x, t))
-    t_bench = jnp.full((batch,), 0.5, jnp.float32)
-    fwd_flops = None
-    try:
-        cost = fwd.lower(shapes, z, t_bench).cost_analysis()
-        if isinstance(cost, (list, tuple)):
-            cost = cost[0]
-        if cost is not None:
-            fwd_flops = float(cost["flops"])
-    except Exception:
-        pass
-    if os.environ.get("PSLD_BENCH_COST_ONLY"):
-        return {"cost_only": True, "flops": fwd_flops}
-    if fwd_flops is None:
-        fwd_flops = _cost_via_cpu_subprocess(batch, nfe, nf)
-    program_flops = fwd_flops * nfe if fwd_flops else None
     # compile + warmup; time via a host fetch of the result -- on tunneled
     # runtimes block_until_ready can return before execution finishes, so
     # only materializing the value gives a trustworthy wall-clock

@@ -25,6 +25,7 @@ from psld_tpu.train import checkpoint as ckpt
 from psld_tpu.train.loop import (build_clf_model, build_score_model,
                                  build_sde, init_score_params)
 from psld_tpu.train.state import init_state, make_optimizer
+from psld_tpu.utils.pipeline import lagged
 
 logger = logging.getLogger(__name__)
 
@@ -56,6 +57,17 @@ def _rank_info(config):
     ecfg = config.evaluation
     rank = int(ecfg.get("rank", -1))
     nproc = int(ecfg.get("num_processes", 0))
+    if nproc <= 0 and rank < 0 and jax.process_count() > 1:
+        # The per-rank fan-out is NOT a lockstep SPMD program: each rank
+        # runs its own dispatch loop with rank-specific RNG against its own
+        # devices. In a jax multi-controller runtime (PSLD_MULTIHOST) that
+        # would deadlock/crash on the global mesh. Match the reference
+        # instead: one independent process per rank (Lightning DDP predict,
+        # wrapper.py:93-99), each told its coordinates explicitly.
+        raise NotImplementedError(
+            "sampling under a multi-controller jax runtime is not "
+            "supported; launch one single-process job per rank with "
+            "evaluation.rank=R evaluation.num_processes=N")
     if nproc <= 0:
         nproc = jax.process_count()
     if rank < 0:
@@ -67,7 +79,7 @@ def _rank_info(config):
 
 def _run_sampler(config, sde, sampler_factory, params, writer, batch_source,
                  write_extra_batch: bool = False, param_source=None,
-                 prefix_source=None):
+                 prefix_source=None, jit_cache=None):
     """``sampler_factory(params) -> Sampler``; params are threaded through
     jit as arguments -- closing over 100M-param pytrees would embed them as
     constants in the XLA program (and overflow remote-compile payloads).
@@ -89,6 +101,10 @@ def _run_sampler(config, sde, sampler_factory, params, writer, batch_source,
       the reference's seed_everything(seed + global_rank),
       wrapper.py:93-99), and writes rank-tagged filenames; nothing is
       gathered across processes.
+    - ``jit_cache`` (a dict owned by the caller, e.g. the FID-vs-NFE
+      sweep) lets repeated calls share compiled sampler programs: the
+      timestep grid is a traced jit ARGUMENT, so combinations differing
+      only in stride VALUES (same NFE) reuse one XLA program.
     """
     ecfg = config.evaluation
     denoise = bool(ecfg.denoise)
@@ -110,30 +126,59 @@ def _run_sampler(config, sde, sampler_factory, params, writer, batch_source,
     sampler_name = str(ecfg.sampler.name)
     is_host_loop = sampler_name == "bb_ode"
     reports_nfe = sampler_name == "adaptive_ode"
+    eps = float(ecfg.eval_eps)
     if is_host_loop:
         sampler = sampler_factory(params)
     else:
-        def _run(params, k, b):
-            s = sampler_factory(params)
-            if reports_nfe:
-                # on-device adaptive solve: the NFE counter rides the carry
-                return s.sample_with_nfe(k, b, denoise=denoise,
-                                         eps=float(ecfg.eval_eps))
-            return s.sample(
-                k, b, ts, n_eff, denoise=denoise, eps=float(ecfg.eval_eps))
+        cache_key = (sampler_name, n_eff, denoise, eps,
+                     str(ecfg.sampler.get("solver", "")))
+        if jit_cache is not None and cache_key in jit_cache:
+            sample_jit = jit_cache[cache_key]
+        else:
+            def _run(params, k, b, ts_):
+                s = sampler_factory(params)
+                if reports_nfe:
+                    # on-device adaptive solve: NFE counter rides the carry
+                    return s.sample_with_nfe(k, b, denoise=denoise, eps=eps)
+                return s.sample(k, b, ts_, n_eff, denoise=denoise, eps=eps)
 
-        sample_jit = jax.jit(_run)
+            sample_jit = jax.jit(_run)
+            if jit_cache is not None:
+                jit_cache[cache_key] = sample_jit
+
+    total_nfe = 0
+    n_batches = -(-n_samples // per_step)
+
+    def produce():
+        """Dispatch loop: yields (out_dev, batch_np, take, batch_idx,
+        prefix); device work for item k+1 starts before item k is
+        consumed (utils.pipeline.lagged)."""
+        planned = 0
+        for batch_idx in range(n_batches):
+            take = min(per_step, n_samples - planned)
+            planned += take
+            k_batch = jax.random.fold_in(key, batch_idx)
+            if is_host_loop:
+                # SciPy host loop: no recompile concern, keep exact widths
+                batch = batch_source(k_batch, take, batch_idx, rank, nproc)
+                out = sampler.sample(k_batch, batch, ts, n_eff,
+                                     denoise=denoise, eps=eps)
+            else:
+                # full-width dispatch + host-side slice (serve mechanism)
+                batch = batch_source(k_batch, per_step, batch_idx, rank,
+                                     nproc)
+                batch = shard_batch(batch, mesh)
+                p = params if param_source is None else param_source(
+                    batch_idx, params)
+                out = sample_jit(p, k_batch, batch, ts)
+            prefix = (None if prefix_source is None
+                      else prefix_source(batch_idx))
+            batch_np = (tuple(np.asarray(b)[:take] for b in batch)
+                        if write_extra_batch else None)
+            yield out, batch_np, take, batch_idx, prefix
 
     written = 0
-    batch_idx = 0
-    total_nfe = 0
-    pending = None  # (out_dev, batch_np, take, batch_idx, prefix)
-
-    def drain():
-        """Fetch + write the previous batch (device already runs the next)."""
-        nonlocal written, total_nfe, pending
-        out, batch_np, take, b_idx, prefix = pending
-        pending = None
+    for out, batch_np, take, b_idx, prefix in lagged(produce()):
         if reports_nfe:
             out, nfe = out
             total_nfe += int(nfe)
@@ -148,45 +193,20 @@ def _run_sampler(config, sde, sampler_factory, params, writer, batch_source,
         written += take
         if (b_idx + 1) % 10 == 0:
             logger.info("sampled %d / %d", written, n_samples)
-
-    while written + (pending[2] if pending else 0) < n_samples:
-        take = min(per_step,
-                   n_samples - written - (pending[2] if pending else 0))
-        k_batch = jax.random.fold_in(key, batch_idx)
-        if is_host_loop:
-            # SciPy host loop: no XLA recompile concern, keep exact widths
-            batch = batch_source(k_batch, take, batch_idx, rank, nproc)
-            out = sampler.sample(k_batch, batch, ts, n_eff, denoise=denoise,
-                                 eps=float(ecfg.eval_eps))
-        else:
-            # full-width dispatch + host-side slice (serve/server.py mechanism)
-            batch = batch_source(k_batch, per_step, batch_idx, rank, nproc)
-            batch = shard_batch(batch, mesh)
-            p = params if param_source is None else param_source(batch_idx,
-                                                                 params)
-            out = sample_jit(p, k_batch, batch)
-        prefix = None if prefix_source is None else prefix_source(batch_idx)
-        batch_np = (tuple(np.asarray(b)[:take] for b in batch)
-                    if write_extra_batch else None)
-        if pending is not None:
-            drain()  # overlaps with the dispatch above
-        pending = (out, batch_np, take, batch_idx, prefix)
-        batch_idx += 1
-    if pending is not None:
-        drain()
     if is_host_loop:
         logger.info("bb_ode mean NFE: %.1f", sampler.mean_nfe)
-    if reports_nfe and batch_idx:
-        logger.info("adaptive_ode mean NFE: %.1f", total_nfe / batch_idx)
+    if reports_nfe and n_batches:
+        logger.info("adaptive_ode mean NFE: %.1f", total_nfe / n_batches)
     return written
 
 
-def sample(config, preloaded=None):
+def sample(config, preloaded=None, jit_cache=None):
     """Unconditional generation (reference eval/sample.py:28-109).
 
-    ``preloaded=(net, params)`` skips the checkpoint restore -- used by
-    sweep drivers that sample the same weights under many sampler/NFE
-    configurations."""
+    ``preloaded=(net, params)`` skips the checkpoint restore and
+    ``jit_cache`` (caller-owned dict) shares compiled sampler programs --
+    used by sweep drivers that sample the same weights under many
+    sampler/NFE configurations."""
     sde = build_sde(config)
     net, params = preloaded if preloaded else load_eval_state(config)
     sampler_cls = get_module("samplers", str(config.evaluation.sampler.name))
@@ -208,7 +228,7 @@ def sample(config, preloaded=None):
         return latent.sample_batch(key, bs)
 
     return _run_sampler(config, sde, sampler_factory, params, writer,
-                        batch_source)
+                        batch_source, jit_cache=jit_cache)
 
 
 def class_cond_sample(config):
@@ -255,23 +275,30 @@ def class_cond_sample(config):
 
     param_source = prefix_source = None
     if len(labels) > 1:
+        # cycle labels by GLOBAL batch slot (batch_idx * nproc + rank) so a
+        # multi-rank fan-out covers all classes instead of every rank
+        # repeating the same head of the label list
+        rank, nproc = _rank_info(dcfg)
         per_step = int(dcfg.evaluation.batch_size) * make_mesh().devices.size
-        n_batches = -(-int(dcfg.evaluation.n_samples) // per_step)
-        if n_batches < len(labels):
+        per_rank = -(-int(dcfg.evaluation.n_samples) // nproc)
+        n_slots = -(-per_rank // per_step) * nproc
+        if n_slots < len(labels):
             logger.warning(
                 "label cycling is per dispatch batch: n_samples=%s fills "
-                "only %d batches for %d labels -- classes %s will NOT be "
-                "sampled (raise n_samples to >= %d for full coverage)",
-                dcfg.evaluation.n_samples, n_batches, len(labels),
-                labels[n_batches:], len(labels) * per_step)
+                "only %d batch slots for %d labels -- classes %s will NOT "
+                "be sampled (raise n_samples for full coverage)",
+                dcfg.evaluation.n_samples, n_slots, len(labels),
+                labels[n_slots:])
         base_prefix = str(dcfg.evaluation.sample_prefix)
 
+        def label_at(i):
+            return labels[(i * nproc + rank) % len(labels)]
+
         def param_source(i, rep):
-            return (rep[0], rep[1],
-                    jnp.asarray(labels[i % len(labels)], jnp.int32))
+            return (rep[0], rep[1], jnp.asarray(label_at(i), jnp.int32))
 
         def prefix_source(i):
-            return f"{base_prefix}y{labels[i % len(labels)]}"
+            return f"{base_prefix}y{label_at(i)}"
 
     y0 = jnp.asarray(labels[0], jnp.int32)
     return _run_sampler(dcfg, sde, sampler_factory,

@@ -9,9 +9,11 @@ with throughput plus whatever quality metric the host can compute --
 FID when Inception weights are supplied, weight-free pixel statistics
 against a reference directory otherwise.
 
-Compile-cost note for tunneled TPU backends: programs are cached per
-(sampler, NFE) -- stride changes only the timestep VALUES, not shapes, so
-adding strides is free; adding NFEs costs one compile each.
+Compile-cost note for tunneled TPU backends: compiled sampler programs are
+shared across combinations through a jit cache keyed on (sampler, NFE)
+-- the timestep grid is a traced argument, so stride changes reuse the
+program. Each (sampler, NFE) pair pays one compile, folded into the first
+stride's elapsed time and flagged `includes_compile` in its record.
 """
 
 from __future__ import annotations
@@ -24,20 +26,22 @@ import time
 logger = logging.getLogger(__name__)
 
 
-def _quality_metrics(gen_dir, ref_dir, ref_stats, weights, batch):
-    out = {}
-    if ref_dir:
-        from psld_tpu.eval.pixel_stats import compare_dirs
+def _make_quality_fn(ref_dir, ref_stats, weights, batch):
+    """Builds the per-directory quality metric closure ONCE: the Inception
+    net, its jitted feature fn, and the reference-side moments are
+    invariant across the sweep (recomputing the data moments per combo
+    would push the full reference set through InceptionV3 dozens of
+    times)."""
+    if not (ref_dir or weights):
+        return lambda gen_dir: {}
 
-        out["pixel_stats"] = compare_dirs(gen_dir, ref_dir)
+    feature_fn = mu2 = cov2 = None
     if weights:
         from psld_tpu.cli.fid import compute_moments
-        from psld_tpu.eval.fid import (frechet_distance, load_stats,
-                                       load_torch_checkpoint,
+        from psld_tpu.eval.fid import (load_stats, load_torch_checkpoint,
                                        make_feature_fn)
 
         feature_fn = make_feature_fn(load_torch_checkpoint(weights))
-        mu1, cov1 = compute_moments(gen_dir, feature_fn, batch).finalize()
         if ref_stats:
             mu2, cov2 = load_stats(ref_stats)
         elif ref_dir:
@@ -45,8 +49,23 @@ def _quality_metrics(gen_dir, ref_dir, ref_stats, weights, batch):
                                         batch).finalize()
         else:
             raise ValueError("FID needs --ref-dir or --ref-stats")
-        out["fid"] = float(frechet_distance(mu1, cov1, mu2, cov2))
-    return out
+
+    def quality(gen_dir):
+        out = {}
+        if ref_dir:
+            from psld_tpu.eval.pixel_stats import compare_dirs
+
+            out["pixel_stats"] = compare_dirs(gen_dir, ref_dir)
+        if feature_fn is not None:
+            from psld_tpu.cli.fid import compute_moments
+            from psld_tpu.eval.fid import frechet_distance
+
+            mu1, cov1 = compute_moments(gen_dir, feature_fn,
+                                        batch).finalize()
+            out["fid"] = float(frechet_distance(mu1, cov1, mu2, cov2))
+        return out
+
+    return quality
 
 
 def run_sweep(config, samplers, nfes, strides, out_dir, ref_dir=None,
@@ -56,10 +75,16 @@ def run_sweep(config, samplers, nfes, strides, out_dir, ref_dir=None,
     from psld_tpu.config import ConfigDict
     from psld_tpu.eval.generate import load_eval_state, sample
 
+    if str(config.evaluation.save_mode) != "image":
+        raise ValueError("the sweep's quality metrics read PNG directories;"
+                         " set evaluation.save_mode=image")
     preloaded = load_eval_state(config)
+    quality = _make_quality_fn(ref_dir, ref_stats, weights, fid_batch)
     os.makedirs(out_dir, exist_ok=True)
     jsonl = os.path.join(out_dir, "sweep.jsonl")
+    jit_cache = {}
     results = []
+    compiled = set()
     for sampler_name in samplers:
         for nfe in nfes:
             for stride in strides:
@@ -71,9 +96,11 @@ def run_sweep(config, samplers, nfes, strides, out_dir, ref_dir=None,
                 tag = f"{sampler_name}_nfe{nfe}_{stride}"
                 save = os.path.join(out_dir, tag)
                 ecfg.save_path = save
+                first = (sampler_name, int(nfe)) not in compiled
+                compiled.add((sampler_name, int(nfe)))
                 logger.info("sweep: %s", tag)
                 t0 = time.time()
-                n = sample(cfg, preloaded=preloaded)
+                n = sample(cfg, preloaded=preloaded, jit_cache=jit_cache)
                 elapsed = time.time() - t0
                 rec = {
                     "sampler": sampler_name,
@@ -82,11 +109,17 @@ def run_sweep(config, samplers, nfes, strides, out_dir, ref_dir=None,
                     "n_samples": int(n),
                     "elapsed_s": round(elapsed, 3),
                     "img_per_s": round(n / elapsed, 4) if elapsed else None,
+                    # one-time XLA compile lands in the first stride of
+                    # each (sampler, NFE); later strides reuse the program
+                    "includes_compile": first,
                 }
-                gen_dir = os.path.join(save, "images")
+                gen_dir = save
+                prefix = str(ecfg.path_prefix)
+                if prefix:
+                    gen_dir = os.path.join(gen_dir, prefix)
+                gen_dir = os.path.join(gen_dir, "images")
                 try:
-                    rec.update(_quality_metrics(gen_dir, ref_dir, ref_stats,
-                                                weights, fid_batch))
+                    rec.update(quality(gen_dir))
                 except Exception as e:  # quality is best-effort per combo
                     rec["quality_error"] = str(e)
                 results.append(rec)

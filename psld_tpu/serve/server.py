@@ -107,27 +107,30 @@ class SamplerService:
             is_norm=bool(self.config.data.norm),
             is_augmented=bool(self.config.model.sde.get("is_augmented", True)),
         )
+        from psld_tpu.utils.pipeline import lagged
+
         rid = self._request_id
         self._request_id += 1
         t0 = time.time()
+
+        def produce():
+            written = 0
+            batch_idx = 0
+            while written < n:
+                take = min(self.per_step, n - written)
+                yield self._request_batch(seed, batch_idx), take, batch_idx
+                written += take
+                batch_idx += 1
+
         written = 0
         batch_idx = 0
-        pending = None  # (device_out, take, batch_idx): double-buffer --
-        # dispatch batch k+1 before fetching/encoding batch k
-        while written < n:
-            take = min(self.per_step, n - written)
-            out = self._request_batch(seed, batch_idx)
-            if pending is not None:
-                p_out, p_take, p_idx = pending
-                writer.write_batch(np.asarray(p_out)[:p_take], rank=rid,
-                                   batch_idx=p_idx)
-            pending = (out, take, batch_idx)
+        # double-buffer (lagged): dispatch batch k+1 before fetching and
+        # PNG-encoding batch k
+        for out, take, b_idx in lagged(produce()):
+            writer.write_batch(np.asarray(out)[:take], rank=rid,
+                               batch_idx=b_idx)
             written += take
-            batch_idx += 1
-        if pending is not None:
-            p_out, p_take, p_idx = pending
-            writer.write_batch(np.asarray(p_out)[:p_take], rank=rid,
-                               batch_idx=p_idx)
+            batch_idx = b_idx + 1
         elapsed = time.time() - t0
         return {"written": written, "batches": batch_idx,
                 "request_id": rid,

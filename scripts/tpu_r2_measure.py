@@ -76,42 +76,12 @@ def train_step_suite(batch=128):
         lambda s: jnp.asarray(host.standard_normal(s.shape)
                               .astype(s.dtype) * 0.02), shapes)
 
-    # Timing rules for the tunneled backend (CLAUDE.md): K steps per
-    # dispatch amortize the ~650 ms dispatch latency; completion is forced
-    # by fetching ONE host scalar at the end of a data-dependent chain
-    # (block_until_ready is unreliable here).
+    # forward-only first (attribution: fwd vs bwd+opt), as one
+    # K-iteration chained scan per dispatch. MUST run before the train
+    # phase: donating the train state also donates the params buffers it
+    # aliases.
     K = 8
-    from psld_tpu.train.steps import make_multi_train_step
-
-    multi_fn, optimizer = make_multi_train_step(net, sde, criterion, cfg, K,
-                                                donate=False)
-    state = init_state(params, optimizer)
-    data = jnp.asarray(host.standard_normal((K, batch, 32, 32, 3))
-                       .astype(np.float32))
-    rng = jax.random.PRNGKey(1)
-
     v5e_peak = 197e12
-
-    state2, m = multi_fn(state, data, rng)  # compile + warmup
-    _ = float(m["loss"][-1])
-    t = time.time()
-    s = state
-    for _ in range(2):
-        s, m = multi_fn(s, data, rng)
-    _ = float(m["loss"][-1])
-    dt = (time.time() - t) / (2 * K)
-    # the XLA cost model counts a lax.scan body ONCE regardless of trip
-    # count, so the K-step program's flops ARE the per-step flops
-    flops = _flops_of(multi_fn, state, data, rng)
-    rec = {"phase": f"train_step_bs{batch}", "ms": round(dt * 1e3, 1),
-           "img_per_s": round(batch / dt, 1)}
-    if flops:
-        rec["program_tflops"] = round(flops / 1e12, 2)
-        rec["mfu_vs_v5e_bf16_peak"] = round(flops / dt / v5e_peak, 4)
-    print(json.dumps(rec), flush=True)
-
-    # forward-only at the same width (attribution: fwd vs bwd+opt), as one
-    # K-iteration chained scan per dispatch
     tv = jnp.full((batch,), 0.5, jnp.float32)
     xb = jnp.asarray(host.standard_normal((batch, 32, 32, 6))
                      .astype(np.float32))
@@ -137,6 +107,41 @@ def train_step_suite(batch=128):
         rec["mfu_vs_v5e_bf16_peak"] = round(fflops / dt_f / v5e_peak, 4)
     print(json.dumps(rec), flush=True)
 
+
+    # Timing rules for the tunneled backend (CLAUDE.md): K steps per
+    # dispatch amortize the ~650 ms dispatch latency; completion is forced
+    # by fetching ONE host scalar at the end of a data-dependent chain
+    # (block_until_ready is unreliable here).
+    K = 8
+    from psld_tpu.train.steps import make_multi_train_step
+
+    # donate the state: without donation the in+out copies plus scan
+    # internals exhaust the 16 GB HBM at bs128 (measured round 2)
+    multi_fn, optimizer = make_multi_train_step(net, sde, criterion, cfg, K,
+                                                donate=True)
+    state = init_state(params, optimizer)
+    data = jnp.asarray(host.standard_normal((K, batch, 32, 32, 3))
+                       .astype(np.float32))
+    rng = jax.random.PRNGKey(1)
+
+    # flops BEFORE execution: donation invalidates `state` host-side
+    flops = _flops_of(multi_fn, state, data, rng)
+
+    s, m = multi_fn(state, data, rng)  # compile + warmup
+    _ = float(m["loss"][-1])
+    t = time.time()
+    for _ in range(2):
+        s, m = multi_fn(s, data, rng)
+    _ = float(m["loss"][-1])
+    dt = (time.time() - t) / (2 * K)
+    # the XLA cost model counts a lax.scan body ONCE regardless of trip
+    # count, so the K-step program's flops ARE the per-step flops
+    rec = {"phase": f"train_step_bs{batch}", "ms": round(dt * 1e3, 1),
+           "img_per_s": round(batch / dt, 1)}
+    if flops:
+        rec["program_tflops"] = round(flops / 1e12, 2)
+        rec["mfu_vs_v5e_bf16_peak"] = round(flops / dt / v5e_peak, 4)
+    print(json.dumps(rec), flush=True)
 
 def main():
     ap = argparse.ArgumentParser()
