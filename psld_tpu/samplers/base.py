@@ -35,13 +35,26 @@ class Sampler(abc.ABC):
         self.sde = sde
         self.score_fn = score_fn
         self.corrector_fn = corrector_fn
+        # stochastic correctors (Langevin) take a PRNG key as a 4th arg;
+        # the reference's (x, t, dt) contract (base.py:22-27) stays valid
+        self._corrector_keyed = False
+        if corrector_fn is not None:
+            import inspect
+
+            try:
+                n_params = len(inspect.signature(corrector_fn).parameters)
+            except (TypeError, ValueError):
+                n_params = 3
+            self._corrector_keyed = n_params >= 4
 
     @property
     def n_steps(self) -> int:
         return int(self.config.evaluation.n_discrete_steps)
 
-    def corrector_update_fn(self, x, t, dt):
+    def corrector_update_fn(self, x, t, dt, key=None):
         if self.corrector_fn is not None:
+            if self._corrector_keyed:
+                return self.corrector_fn(x, t, dt, key)
             return self.corrector_fn(x, t, dt)
         return x, x
 

@@ -43,18 +43,31 @@ def _em_update(sde, score_fn, x, t, dt, key, flag=None, guidance=None):
     return x_mean + fl * g * jnp.sqrt(dt_c) * noise, x_mean
 
 
-def _corrected(sampler, x, t, dt, flag):
+def _corrected(sampler, x, t, dt, flag, key=None):
     """Apply the corrector hook except on the flag=0 denoise row; lax.cond
     skips the corrector's network evaluation entirely on that row instead of
-    computing and discarding it."""
+    computing and discarding it. ``key`` feeds stochastic correctors
+    (Langevin); deterministic 3-arg correctors never see it."""
     if sampler.corrector_fn is None:
         return x
     return jax.lax.cond(
         flag > 0,
-        lambda x_: sampler.corrector_update_fn(x_, t, dt)[0],
+        lambda x_: sampler.corrector_update_fn(x_, t, dt, key=key)[0],
         lambda x_: x_,
         x,
     )
+
+
+def _split_with_corrector(sampler, key):
+    """One predictor key per step, plus a corrector key only when a
+    corrector is attached -- keeping the no-corrector RNG stream
+    bit-identical to the plain samplers (pinned by the reference
+    trajectory-parity tests)."""
+    if sampler.corrector_fn is None:
+        key, sub = jax.random.split(key)
+        return key, sub, None
+    key, sub, csub = jax.random.split(key, 3)
+    return key, sub, csub
 
 
 def _step_grid(sde, ts, denoise: bool, eps: float):
@@ -86,9 +99,9 @@ class EulerMaruyamaSampler(Sampler):
         def body(carry, inp):
             x, key = carry
             t, dt, flag = inp
-            key, sub = jax.random.split(key)
+            key, sub, csub = _split_with_corrector(self, key)
             x, _ = _em_update(self.sde, self.score_fn, x, t, dt, sub, flag)
-            x = _corrected(self, x, t, dt, flag)
+            x = _corrected(self, x, t, dt, flag, csub)
             return (x, key), None
 
         (x, key), _ = jax.lax.scan(body, (x, key), grid)
@@ -142,11 +155,11 @@ class ClassCondEulerMaruyamaSampler(Sampler):
         def body(carry, inp):
             x, key = carry
             t, dt, flag = inp
-            key, sub = jax.random.split(key)
+            key, sub, csub = _split_with_corrector(self, key)
             x, _ = _em_update(
                 self.sde, self.score_fn, x, t, dt, sub, flag,
                 guidance=lambda xx: self._guidance(xx, self.sde.T - t))
-            x = _corrected(self, x, t, dt, flag)
+            x = _corrected(self, x, t, dt, flag, csub)
             return (x, key), None
 
         (x, key), _ = jax.lax.scan(body, (x, key), grid)
@@ -269,9 +282,9 @@ class SSCSSampler(Sampler):
         def body(carry, inp):
             x, key = carry
             t, t_next = inp
-            key, sub = jax.random.split(key)
+            key, sub, csub = _split_with_corrector(self, key)
             x = self.predictor_update_fn(x, t, t_next - t, sub)
-            x, _ = self.corrector_update_fn(x, t, t_next - t)
+            x, _ = self.corrector_update_fn(x, t, t_next - t, key=csub)
             return (x, key), None
 
         (x, key), _ = jax.lax.scan(body, (x, key), (ts[:-1], ts[1:]))

@@ -70,7 +70,12 @@ class SamplerService:
         eps = float(ecfg.eval_eps)
 
         def _run(params, k, z):
-            s = sampler_cls(config, self.sde, make_score_fn(net, params))
+            from psld_tpu.samplers.correctors import build_corrector
+
+            score_fn = make_score_fn(net, params)
+            s = sampler_cls(config, self.sde, score_fn,
+                            corrector_fn=build_corrector(config, self.sde,
+                                                         score_fn))
             return s.sample(k, z, ts, n_eff, denoise=self.denoise, eps=eps)
 
         self._sample = jax.jit(_run)
@@ -107,30 +112,34 @@ class SamplerService:
             is_norm=bool(self.config.data.norm),
             is_augmented=bool(self.config.model.sde.get("is_augmented", True)),
         )
-        from psld_tpu.utils.pipeline import lagged
+        from psld_tpu.utils.pipeline import consume_stream
 
         rid = self._request_id
         self._request_id += 1
         t0 = time.time()
 
         def produce():
-            written = 0
+            done = 0
             batch_idx = 0
-            while written < n:
-                take = min(self.per_step, n - written)
+            while done < n:
+                take = min(self.per_step, n - done)
                 yield self._request_batch(seed, batch_idx), take, batch_idx
-                written += take
+                done += take
                 batch_idx += 1
 
-        written = 0
-        batch_idx = 0
-        # double-buffer (lagged): dispatch batch k+1 before fetching and
-        # PNG-encoding batch k
-        for out, take, b_idx in lagged(produce()):
+        state = {"written": 0, "batches": 0}
+
+        def consume(item):
+            # fetch + PNG-encode on the writer thread; dispatches free-run
+            out, take, b_idx = item
             writer.write_batch(np.asarray(out)[:take], rank=rid,
                                batch_idx=b_idx)
-            written += take
-            batch_idx = b_idx + 1
+            state["written"] += take
+            state["batches"] = b_idx + 1
+
+        consume_stream(produce(), consume, depth=2)
+        written = state["written"]
+        batch_idx = state["batches"]
         elapsed = time.time() - t0
         return {"written": written, "batches": batch_idx,
                 "request_id": rid,

@@ -2,9 +2,68 @@
 
 from __future__ import annotations
 
-from typing import Iterable, Iterator, TypeVar
+import queue
+import threading
+from typing import Callable, Iterable, Iterator, TypeVar
 
 T = TypeVar("T")
+
+
+def consume_stream(items: Iterable[T], consume: Callable[[T], None],
+                   depth: int = 2) -> None:
+    """Run ``consume`` on a worker thread over ``items`` through a bounded
+    queue: the producer (async device dispatches) free-runs up to ``depth``
+    items ahead of the consumer (blocking fetch + encode/write).
+
+    Stronger overlap than :func:`lagged`: a single-thread lag still
+    serializes each item's fetch+write window with the next dispatch's
+    host work. ``depth`` bounds in-flight device buffers. Consumer
+    exceptions propagate to the caller after the producer stops; items are
+    consumed in production order."""
+    q: queue.Queue = queue.Queue(maxsize=depth)
+    errors: list[BaseException] = []
+
+    def worker():
+        while True:
+            item = q.get()
+            if item is _DONE:
+                return
+            try:
+                consume(item)
+            except BaseException as e:  # propagate to the caller
+                errors.append(e)
+                return
+
+    t = threading.Thread(target=worker, name="psld-consume", daemon=True)
+    t.start()
+
+    def put(item) -> bool:
+        # never block forever on a dead worker (a full queue after a
+        # consumer error would otherwise deadlock the producer)
+        while True:
+            try:
+                q.put(item, timeout=0.2)
+                return True
+            except queue.Full:
+                if not t.is_alive():
+                    return False
+
+    try:
+        for item in items:
+            if errors or not put(item):
+                break
+    finally:
+        put(_DONE)
+        t.join()
+    if errors:
+        raise errors[0]
+
+
+class _Done:
+    pass
+
+
+_DONE = _Done()
 
 
 def lagged(items: Iterable[T]) -> Iterator[T]:
