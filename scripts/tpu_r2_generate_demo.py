@@ -106,10 +106,17 @@ def main():
         "batches": len(stamps),
     }
     if len(stamps) >= 3:
-        # drop the first write (absorbs compile); steady rate over the rest
-        imgs = sum(c for _, c, _ in stamps[1:])
+        # Window [write_0, write_last] spans the device COMPUTE of batches
+        # 1..last -- each a full dispatch width even when the tail writes
+        # fewer. Divide computed images by the window for the device rate
+        # (the written-images rate additionally charges the tail's sliced
+        # waste, which vanishes for large n: per_step/n).
         dt = stamps[-1][2] - stamps[0][2]
-        rec["steady_img_per_s"] = round(imgs / dt, 3)
+        n_batches = len(stamps) - 1
+        per_step = 64
+        rec["steady_device_img_per_s"] = round(n_batches * per_step / dt, 3)
+        rec["steady_written_img_per_s"] = round(
+            sum(c for _, c, _ in stamps[1:]) / dt, 3)
     print(json.dumps(rec))
     print("samples in", work)
 
