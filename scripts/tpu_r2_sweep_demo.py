@@ -1,0 +1,106 @@
+"""On-chip FID-vs-NFE sweep demonstration (round 2, VERDICT item 8).
+
+One process: trains a small PSLD model on the synthetic dataset until it
+demonstrably learns, dumps the data distribution to PNGs, then runs the
+productized sweep (psld_tpu.eval.sweep) over sampler x NFE x stride --
+producing the JSONL speed-vs-quality table with weight-free pixel stats
+on real TPU hardware (FID columns appear when Inception weights exist).
+
+Compile cost: one train-step program + one sampler program per
+(sampler, NFE) pair; strides share programs via the sweep's jit cache.
+
+Usage: python scripts/tpu_r2_sweep_demo.py [out_dir]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+
+
+def main():
+    out_dir = sys.argv[1] if len(sys.argv) > 1 else tempfile.mkdtemp(
+        prefix="psld_sweep_demo_")
+
+    import psld_tpu
+
+    psld_tpu.enable_x64()
+    psld_tpu.setup_cache()
+    psld_tpu.import_modules_into_registry()
+
+    import numpy as np
+
+    from psld_tpu.config import compose
+    from psld_tpu.eval.sweep import run_sweep
+    from psld_tpu.train.loop import train_sde
+    from psld_tpu.utils.images import save_as_images
+
+    results = os.path.join(out_dir, "train")
+    overrides = [
+        "+dataset=cifar10/cifar10_psld",
+        "dataset.diffusion.data.name=synthetic",
+        f"dataset.diffusion.data.root={out_dir}",
+        "dataset.diffusion.model.score_fn.nf=64",
+        "dataset.diffusion.model.score_fn.ch_mult=[1,2]",
+        "dataset.diffusion.model.score_fn.num_res_blocks=2",
+        "dataset.diffusion.model.score_fn.attn_resolutions=[16]",
+        "dataset.diffusion.training.batch_size=128",
+        "dataset.diffusion.training.epochs=10000",
+        "dataset.diffusion.training.chkpt_interval=10000",
+        "dataset.diffusion.training.ema_decay=0.999",
+        "+dataset.diffusion.training.steps_per_dispatch=8",
+        f"dataset.diffusion.training.results_dir={results}",
+        "dataset.diffusion.evaluation.n_samples=256",
+        "dataset.diffusion.evaluation.batch_size=64",
+        "dataset.diffusion.evaluation.sample_prefix=tpu",
+    ]
+    smoke = bool(os.environ.get("PSLD_DEMO_SMOKE"))
+    if smoke:
+        overrides += [
+            "dataset.diffusion.model.score_fn.nf=8",
+            "dataset.diffusion.model.score_fn.num_res_blocks=1",
+            "dataset.diffusion.training.batch_size=8",
+            "dataset.diffusion.evaluation.n_samples=8",
+            "dataset.diffusion.evaluation.batch_size=2",
+        ]
+    cfg = compose(overrides).dataset.diffusion
+
+    # 1. train until the loss demonstrates learning (~3k steps at bs128)
+    state = train_sde(cfg, max_steps=24 if smoke else 3000)
+    import glob
+
+    ckpts = sorted(glob.glob(f"{results}/checkpoints/psld-*"))
+    assert ckpts, "no checkpoint written"
+    print(json.dumps({"phase": "train", "steps": int(state.step),
+                      "checkpoint": ckpts[-1]}), flush=True)
+
+    # 2. dump the data distribution for the quality reference
+    from psld_tpu.registry import get_module
+
+    ds = get_module("datasets", "synthetic")(image_size=32, norm=True)
+    ref_dir = os.path.join(out_dir, "data_ref")
+    os.makedirs(ref_dir, exist_ok=True)
+    imgs = np.stack([ds[i][0] if isinstance(ds[i], tuple) else ds[i]
+                     for i in range(256)])
+    save_as_images(imgs, file_name=os.path.join(ref_dir, "data"),
+                   denorm=True)
+
+    # 3. the productized sweep, one command -> JSONL table
+    cfg.evaluation.chkpt_path = ckpts[-1]
+    recs = run_sweep(
+        cfg,
+        samplers=["em_sde", "sscs_sde"],
+        nfes=[5] if smoke else [20, 50, 100],
+        strides=["uniform", "quadratic"],
+        out_dir=os.path.join(out_dir, "sweep"),
+        ref_dir=ref_dir,
+        weights=os.environ.get("FID_WEIGHTS"),
+    )
+    print(json.dumps({"phase": "sweep_done", "rows": len(recs),
+                      "out": out_dir}), flush=True)
+
+
+if __name__ == "__main__":
+    main()
