@@ -49,33 +49,48 @@ def make_score_fn(net, params):
 
 
 def _rank_info(config):
-    """(rank, num_processes) for sampling fan-out.
+    """(rank, num_processes, lockstep) for sampling fan-out.
 
-    Defaults to the jax process topology; ``evaluation.rank`` /
-    ``evaluation.num_processes`` override it (tests, external launchers).
-    Mirrors the reference's Lightning DDP predict where each of 8 ranks
-    writes its own files (callbacks.py:98-122)."""
+    Two fan-out modes:
+    - Per-rank (reference parity, Lightning DDP predict where each of 8
+      ranks runs independently and writes its own files,
+      callbacks.py:98-122): independent single-process jobs told their
+      coordinates via ``evaluation.rank`` / ``evaluation.num_processes``;
+      rank-folded RNG streams.
+    - Lockstep SPMD (multi-controller jax runtime, PSLD_MULTIHOST): ONE
+      global program over every process's devices; all processes run the
+      identical dispatch loop with identical keys, sample diversity comes
+      from position in the global array, and each process writes only its
+      addressable shard (tagged with its process index)."""
     ecfg = config.evaluation
     rank = int(ecfg.get("rank", -1))
     nproc = int(ecfg.get("num_processes", 0))
     if nproc <= 0 and rank < 0 and jax.process_count() > 1:
-        # The per-rank fan-out is NOT a lockstep SPMD program: each rank
-        # runs its own dispatch loop with rank-specific RNG against its own
-        # devices. In a jax multi-controller runtime (PSLD_MULTIHOST) that
-        # would deadlock/crash on the global mesh. Match the reference
-        # instead: one independent process per rank (Lightning DDP predict,
-        # wrapper.py:93-99), each told its coordinates explicitly.
-        raise NotImplementedError(
-            "sampling under a multi-controller jax runtime is not "
-            "supported; launch one single-process job per rank with "
-            "evaluation.rank=R evaluation.num_processes=N")
+        return jax.process_index(), 1, True
     if nproc <= 0:
         nproc = jax.process_count()
     if rank < 0:
         rank = jax.process_index()
     if not rank < nproc:
         raise ValueError(f"rank {rank} out of range for {nproc} processes")
-    return rank, nproc
+    return rank, nproc, False
+
+
+def _fetch_local(out, take):
+    """This process's rows of a (possibly non-fully-addressable) global
+    batch, clipped to the global tail ``take``, in global row order."""
+    shards = sorted(out.addressable_shards,
+                    key=lambda s: s.index[0].start or 0)
+    parts = []
+    for s in shards:
+        start = s.index[0].start or 0
+        data = np.asarray(s.data)
+        n = min(take - start, data.shape[0])
+        if n > 0:
+            parts.append(data[:n])
+    if not parts:
+        return np.zeros((0,) + out.shape[1:], out.dtype)
+    return np.concatenate(parts)
 
 
 def _run_sampler(config, sde, sampler_factory, params, writer, batch_source,
@@ -123,7 +138,7 @@ def _run_sampler(config, sde, sampler_factory, params, writer, batch_source,
 
     mesh = make_mesh()
     per_step = int(ecfg.batch_size) * mesh.devices.size
-    rank, nproc = _rank_info(config)
+    rank, nproc, lockstep = _rank_info(config)
     n_samples = -(-int(ecfg.n_samples) // nproc)  # this rank's share
     seed = int(ecfg.seed)
     key = jax.random.PRNGKey(seed)
@@ -135,6 +150,13 @@ def _run_sampler(config, sde, sampler_factory, params, writer, batch_source,
     is_host_loop = sampler_name == "bb_ode"
     reports_nfe = sampler_name == "adaptive_ode"
     eps = float(ecfg.eval_eps)
+    if lockstep and (latent is None or is_host_loop):
+        raise NotImplementedError(
+            "under a multi-controller jax runtime only prior-seeded "
+            "on-device samplers run lockstep (em_sde/sscs_sde/rk_ode/"
+            "adaptive_ode); for inpainting or bb_ode launch one "
+            "single-process job per rank with evaluation.rank=R "
+            "evaluation.num_processes=N")
     if is_host_loop:
         sampler = sampler_factory(params)
     else:
@@ -216,8 +238,10 @@ def _run_sampler(config, sde, sampler_factory, params, writer, batch_source,
         out, batch_np, take, b_idx, prefix = item
         if reports_nfe:
             out, nfe = out
-            state["nfe"] += int(nfe)
-        out_np = np.asarray(out)[:take]
+            state["nfe"] += int(nfe)  # replicated scalar: host-fetchable
+        # lockstep: this process writes ONLY its addressable shard rows
+        out_np = _fetch_local(out, take) if lockstep else \
+            np.asarray(out)[:take]
         if prefix is not None:
             writer.sample_prefix = prefix
         if write_extra_batch:
@@ -225,7 +249,7 @@ def _run_sampler(config, sde, sampler_factory, params, writer, batch_source,
                                batch=batch_np)
         else:
             writer.write_batch(out_np, rank=rank, batch_idx=b_idx)
-        state["written"] += take
+        state["written"] += len(out_np) if lockstep else take
         if (b_idx + 1) % 10 == 0:
             logger.info("sampled %d / %d", state["written"], n_samples)
 
@@ -315,8 +339,11 @@ def class_cond_sample(config):
     if len(labels) > 1:
         # cycle labels by GLOBAL batch slot (batch_idx * nproc + rank) so a
         # multi-rank fan-out covers all classes instead of every rank
-        # repeating the same head of the label list
-        rank, nproc = _rank_info(dcfg)
+        # repeating the same head of the label list; in lockstep mode
+        # nproc=1 so the cycle is the shared global batch index
+        rank, nproc, lockstep = _rank_info(dcfg)
+        if lockstep:
+            rank = 0
         per_step = int(dcfg.evaluation.batch_size) * make_mesh().devices.size
         per_rank = -(-int(dcfg.evaluation.n_samples) // nproc)
         n_slots = -(-per_rank // per_step) * nproc
