@@ -104,6 +104,17 @@ def _train_sde(config, stop, max_steps: int | None = None):
                    for p in jax.tree_util.tree_leaves(params))
     logger.info("score_fn: %.1fM params", n_params / 1e6)
 
+    mesh = make_mesh()
+    # training.fsdp=true shards params/EMA/optimizer moments over the data
+    # axis (ZeRO-3 via sharding annotations; parallel/fsdp.py) instead of
+    # replicating them -- trades all-gather bandwidth for HBM headroom
+    fsdp = bool(tcfg.get("fsdp", False))
+    param_shardings = None
+    if fsdp:
+        from psld_tpu.parallel.fsdp import shard_tree, tree_shardings
+
+        param_shardings = tree_shardings(params, mesh)
+
     # steps_per_dispatch > 1 runs K train steps per compiled dispatch via
     # lax.scan (numerically equivalent to K single dispatches) -- on
     # remote/tunneled runtimes per-dispatch latency otherwise dominates
@@ -111,25 +122,29 @@ def _train_sde(config, stop, max_steps: int | None = None):
     if spd > 1:
         from psld_tpu.train.steps import make_multi_train_step
 
-        step_fn, optimizer = make_multi_train_step(net, sde, criterion,
-                                                   config, spd)
+        step_fn, optimizer = make_multi_train_step(
+            net, sde, criterion, config, spd,
+            param_shardings=param_shardings)
         # epoch tails smaller than the dispatch width fall back to this
         single_fn, _ = make_train_step(net, sde, criterion, config,
-                                       donate=False)
+                                       donate=False,
+                                       param_shardings=param_shardings)
     else:
-        step_fn, optimizer = make_train_step(net, sde, criterion, config)
+        step_fn, optimizer = make_train_step(
+            net, sde, criterion, config, param_shardings=param_shardings)
         single_fn = step_fn
     state = init_state(params, optimizer)
 
-    mesh = make_mesh()
-    state = replicate(state, mesh)
+    place = (lambda s: shard_tree(s, mesh)) if fsdp \
+        else (lambda s: replicate(s, mesh))
+    state = place(state)
     b_sharding = batch_sharding(mesh)
 
     start_epoch = 0
     restore = str(tcfg.restore_path or "")
     if restore:
         state = ckpt.restore_checkpoint(restore, state)
-        state = replicate(state, mesh)
+        state = place(state)
         start_epoch = ckpt.epoch_from_path(restore)
         logger.info("restored %s at epoch %d", restore, start_epoch)
 

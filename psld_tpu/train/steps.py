@@ -26,12 +26,17 @@ def sample_times(rng, batch: int, train_eps: float, t_max: float = 1.0):
     return u * (t_max - train_eps) + train_eps
 
 
-def make_train_step(net, sde, criterion, config,
-                    donate: bool = True) -> Callable:
+def make_train_step(net, sde, criterion, config, donate: bool = True,
+                    param_shardings=None) -> Callable:
     """Build the jitted score-model train step.
 
     Returns ``step(state, batch, rng) -> (state, metrics)``; ``batch`` is the
     *global* batch (shard its leading axis for data parallelism).
+
+    ``param_shardings`` (a pytree of NamedShardings matching ``params``)
+    turns on FSDP: gradients, updated params, and the EMA are pinned to the
+    sharded layout so XLA reduce-scatters gradients and keeps the optimizer
+    update fully sharded (see ``parallel/fsdp.py``).
     """
     train_eps = float(config.training.train_eps)
     tau = float(config.training.ema_decay)
@@ -56,6 +61,10 @@ def make_train_step(net, sde, criterion, config,
         t = sample_times(k_t, batch.shape[0], train_eps, sde.T)
         loss, grads = jax.value_and_grad(loss_fn)(state.params, batch, t,
                                                   k_loss)
+        if param_shardings is not None:
+            # FSDP: force the reduce-scatter of the data-parallel gradient
+            # sum back to the parameter shards before the optimizer update
+            grads = jax.lax.with_sharding_constraint(grads, param_shardings)
         updates, opt_state = optimizer.update(grads, state.opt_state,
                                               state.params)
         params = jax.tree_util.tree_map(
@@ -66,6 +75,10 @@ def make_train_step(net, sde, criterion, config,
             if use_ema
             else params
         )
+        if param_shardings is not None:
+            params = jax.lax.with_sharding_constraint(params, param_shardings)
+            ema_params = jax.lax.with_sharding_constraint(ema_params,
+                                                          param_shardings)
         new_state = TrainState(step=state.step + 1, params=params,
                                ema_params=ema_params, opt_state=opt_state)
         metrics = {
@@ -82,7 +95,8 @@ def make_train_step(net, sde, criterion, config,
 
 
 def make_multi_train_step(net, sde, criterion, config, n_steps: int,
-                          donate: bool = True) -> Callable:
+                          donate: bool = True,
+                          param_shardings=None) -> Callable:
     """``step(state, batches, rng) -> (state, metrics)`` running ``n_steps``
     train steps in ONE compiled dispatch via ``lax.scan``.
 
@@ -94,7 +108,8 @@ def make_multi_train_step(net, sde, criterion, config, n_steps: int,
     round-trips than on compute. Metrics are scanned (shape [n_steps]).
     """
     single, optimizer = make_train_step(net, sde, criterion, config,
-                                        donate=False)
+                                        donate=False,
+                                        param_shardings=param_shardings)
 
     def step(state: TrainState, batches, rng):
         def body(state, batch):
