@@ -8,7 +8,7 @@ whole JSONL table.
 Usage (sweep flags + any Hydra-style config overrides, mixed freely):
 
     python -m psld_tpu.cli.sweep_fid_nfe \
-        --samplers em_sde,sscs_sde,rk_ode --nfes 20,50,100,1000 \
+        --samplers em_sde,sscs_sde,sscs2m_sde,rk_ode --nfes 20,50,100,1000 \
         --strides uniform,quadratic --out-dir /tmp/sweep \
         [--ref-dir CIFAR_PNGS] [--ref-stats stats.npz] [--weights pt.pth] \
         +dataset=cifar10/cifar10_psld dataset.diffusion.data.root=... \
@@ -26,7 +26,7 @@ from psld_tpu.cli._common import console as _console
 
 def main(argv=None):
     parser = argparse.ArgumentParser(description=__doc__)
-    parser.add_argument("--samplers", default="em_sde,sscs_sde,rk_ode")
+    parser.add_argument("--samplers", default="em_sde,sscs_sde,sscs2m_sde,rk_ode")
     parser.add_argument("--nfes", default="20,50,100,1000")
     parser.add_argument("--strides", default="uniform,quadratic")
     parser.add_argument("--out-dir", required=True)

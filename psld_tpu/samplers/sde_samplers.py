@@ -252,20 +252,23 @@ class SSCSSampler(Sampler):
                         c(l21) * e_x + c(l22) * e_m)
         return mu + noise
 
-    def euler_score_dynamics(self, u, t, dt):
-        """(reference sde.py:314-329)"""
+    def score_term(self, u, t):
+        """Drift of the split score sub-flow, ``N(u, t)`` — the bracketed
+        terms of the reference's Euler score step (sde.py:314-329):
+        ``[gamma*beta*(score_x + x), m*nu*beta*(score_m + m_inv*m)]``."""
         sde = self.sde
-        t_phys = sde.T - t
-        tv = jnp.full((u.shape[0],), t_phys, dtype=t.dtype)
+        tv = jnp.full((u.shape[0],), sde.T - t, dtype=t.dtype)
         beta = bcast_right(sde.beta_t(tv), u.ndim).astype(u.dtype)
         x, m = split_xm(u)
         eps_pred = self.score_fn(u.astype(jnp.float32), tv.astype(jnp.float32))
         score = sde.get_score(eps_pred, 0.0, sde.mm_0, tv).astype(u.dtype)
         score_x, score_m = split_xm(score)
-        dt_c = jnp.asarray(dt).astype(u.dtype)
-        x_bar = x + dt_c * sde.gamma * beta * (score_x + x)
-        m_bar = m + dt_c * sde.m * sde.nu * beta * (score_m + sde.m_inv * m)
-        return join_xm(x_bar, m_bar)
+        return join_xm(sde.gamma * beta * (score_x + x),
+                       sde.m * sde.nu * beta * (score_m + sde.m_inv * m))
+
+    def euler_score_dynamics(self, u, t, dt):
+        """(reference sde.py:314-329)"""
+        return u + jnp.asarray(dt).astype(u.dtype) * self.score_term(u, t)
 
     def predictor_update_fn(self, u, t, dt, key):
         k1, k2 = jax.random.split(key)
@@ -293,3 +296,78 @@ class SSCSSampler(Sampler):
                            jnp.asarray(self.sde.T - eps, ts.dtype),
                            jnp.asarray(eps, ts.dtype), None)[0]
         return x
+
+
+@register_module(category="samplers", name="sscs2m_sde")
+class SSCS2MSampler(SSCSSampler):
+    """Second-order multistep SSCS — a TPU-native extension with no
+    reference counterpart (the reference's highest-order PSLD SDE sampler
+    is plain SSCS, samplers/sde.py:227-370).
+
+    SSCS integrates the split score sub-flow ``du/dtau = N(u, tau)`` with
+    one explicit Euler step per interval. SSCS-2M upgrades that stage to a
+    Lawson-type exponential Adams--Bashforth-2 step: the previous
+    interval's score term is transported to the current evaluation frame
+    through the intervening analytical OU *mean* maps (the exact linear
+    propagator the splitting already computes) and combined with
+    non-uniform AB2 weights ``(1 + rho/2, -rho/2)``, ``rho = dt_k /
+    dt_{k-1}``. The stochastic OU half-steps are untouched — with the same
+    outer key the injected noise sequence is bit-identical to SSCS — so
+    only the deterministic score stage gains an order. The first interval
+    (no history yet) is exactly one SSCS step.
+
+    Measured operating envelope (exact-score Gaussian transport,
+    tests/test_samplers.py): on UNIFORM grids the terminal-moment error
+    drops 1.2x / 4.2x / 2.5x vs SSCS at 20 / 50 / 100 NFE. On quadratic
+    grids or at <=10 NFE plain SSCS is better — the score term's curvature
+    blows up toward t = T (gamma-small covariance near-singularity) and
+    the AB2 extrapolation amplifies it — so sscs2m_sde is the uniform-
+    stride mid-NFE operating point, not a universal replacement.
+    """
+
+    def _linear_mean(self, v, t, dt):
+        """Apply the reverse-time OU mean map over [t, t+dt] to ``v`` —
+        ``analytical_dynamics`` without the noise draw."""
+        tv = jnp.full((v.shape[0],), t, dtype=t.dtype)
+        (m11, m12, m21, m22), _ = self.sde.sscs_transition(tv, dt)
+        x, m = split_xm(v)
+        nd = x.ndim
+
+        def c(q):
+            return bcast_right(q, nd).astype(v.dtype)
+
+        return join_xm(c(m11) * x + c(m12) * m, c(m21) * x + c(m22) * m)
+
+    def sample(self, key, batch, ts, n_discrete_steps, denoise=True,
+               eps=1e-3):
+        del n_discrete_steps
+        u0 = batch
+        n = ts.shape[0] - 1
+        first = (jnp.arange(n) == 0).astype(ts.dtype)
+        carry0 = (u0, key, jnp.zeros_like(u0), jnp.asarray(1.0, ts.dtype))
+
+        def body(carry, inp):
+            u, key, prev, dt_prev = carry
+            t, t_next, first_f = inp
+            dt = t_next - t
+            key, sub, csub = _split_with_corrector(self, key)
+            k1, k2 = jax.random.split(sub)  # same split as SSCS's predictor
+            u = self.analytical_dynamics(u, t, dt / 2, k1)
+            prev = self._linear_mean(prev, t, dt / 2)
+            nterm = self.score_term(u, t)
+            rho = (dt / dt_prev).astype(u.dtype)
+            fl = first_f.astype(u.dtype)  # 1 on the history-free first step
+            d = nterm + (1.0 - fl) * (rho / 2.0) * (nterm - prev)
+            u = u + jnp.asarray(dt).astype(u.dtype) * d
+            prev_next = self._linear_mean(nterm, t, dt / 2)
+            u = self.analytical_dynamics(u, t, dt / 2, k2)
+            u, _ = self.corrector_update_fn(u, t, dt, key=csub)
+            return (u, key, prev_next, dt), None
+
+        (u, key, _, _), _ = jax.lax.scan(
+            body, carry0, (ts[:-1], ts[1:], first))
+        if denoise:
+            u = _em_update(self.sde, self.score_fn, u,
+                           jnp.asarray(self.sde.T - eps, ts.dtype),
+                           jnp.asarray(eps, ts.dtype), None)[0]
+        return u

@@ -17,6 +17,7 @@ from psld_tpu.samplers import make_timesteps
 from psld_tpu.samplers.sde_samplers import (
     EulerMaruyamaInpainter,
     EulerMaruyamaSampler,
+    SSCS2MSampler,
     SSCSSampler,
 )
 from psld_tpu.samplers.ode import (
@@ -164,6 +165,54 @@ def test_sscs_psld_recovers_gaussian():
     x = np.asarray(out)[..., 0].ravel()
     np.testing.assert_allclose(x.mean(), 0.0, atol=3e-2)
     np.testing.assert_allclose(x.std(), s0, rtol=6e-2)
+
+
+def test_sscs2m_psld_recovers_gaussian():
+    cfg, sde = make_psld(n_steps=100, sampler_extra={"name": "sscs2m_sde"})
+    s0 = 0.7
+    sampler = SSCS2MSampler(cfg, sde, psld_exact_score_fn(sde, s0))
+    ts = make_timesteps(99, 1e-3)
+    z = sde.prior_sampling(jax.random.PRNGKey(0), (N, 1, 1, 1))
+    out = jax.jit(lambda k, z: sampler.sample(k, z, ts, 99))(
+        jax.random.PRNGKey(1), z)
+    x = np.asarray(out)[..., 0].ravel()
+    np.testing.assert_allclose(x.mean(), 0.0, atol=3e-2)
+    np.testing.assert_allclose(x.std(), s0, rtol=6e-2)
+
+
+def test_sscs2m_beats_sscs_on_uniform_mid_nfe():
+    """The extension's claim (sampler docstring): on a UNIFORM 50-step grid
+    the exponential-AB2 score stage lands the terminal marginal measurably
+    closer to the data distribution than plain SSCS. Deterministic given
+    the fixed keys; the measured gap is ~4x (0.003 vs 0.012 at N=20k)."""
+    s0 = 0.7
+    cfg, sde = make_psld(n_steps=50, sampler_extra={"name": "sscs_sde"})
+    score = psld_exact_score_fn(sde, s0)
+    ts = make_timesteps(49, 1e-3)
+    z = sde.prior_sampling(jax.random.PRNGKey(0), (N, 1, 1, 1))
+    errs = {}
+    for cls in (SSCSSampler, SSCS2MSampler):
+        smp = cls(cfg, sde, score)
+        out = jax.jit(lambda k, z: smp.sample(k, z, ts, 49))(
+            jax.random.PRNGKey(1), z)
+        errs[cls] = abs(float(np.asarray(out)[..., 0].std()) - s0)
+    assert errs[SSCS2MSampler] < 0.6 * errs[SSCSSampler], errs
+
+
+def test_sscs2m_single_interval_is_sscs():
+    """With no history the first interval must reduce to exactly one SSCS
+    step — same noise draws (the sub-key split mirrors SSCS's predictor),
+    same state, bitwise."""
+    s0 = 0.7
+    cfg, sde = make_psld(n_steps=2, sampler_extra={"name": "sscs_sde"})
+    score = psld_exact_score_fn(sde, s0)
+    ts = make_timesteps(1, 1e-3)
+    z = sde.prior_sampling(jax.random.PRNGKey(0), (64, 1, 1, 1))
+    a = SSCSSampler(cfg, sde, score).sample(
+        jax.random.PRNGKey(5), z, ts, 1, denoise=True)
+    b = SSCS2MSampler(cfg, sde, score).sample(
+        jax.random.PRNGKey(5), z, ts, 1, denoise=True)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
 # euler is first-order: the beta=8 prob-flow ODE is stiff and needs ~1k
