@@ -153,7 +153,7 @@ def _run_sampler(config, sde, sampler_factory, params, writer, batch_source,
     if lockstep and (latent is None or is_host_loop):
         raise NotImplementedError(
             "under a multi-controller jax runtime only prior-seeded "
-            "on-device samplers run lockstep (em_sde/sscs_sde/rk_ode/"
+            "on-device samplers run lockstep (em_sde/sscs_sde/sscs2m_sde/rk_ode/"
             "adaptive_ode); for inpainting or bb_ode launch one "
             "single-process job per rank with evaluation.rank=R "
             "evaluation.num_processes=N")

@@ -51,7 +51,7 @@ class SamplerService:
                 str(ecfg.sampler.name) == "bb_ode":
             # fail fast -- before loading a 100M-param checkpoint
             raise ValueError(
-                "serving requires an on-device sampler (em_sde, sscs_sde, "
+                "serving requires an on-device sampler (em_sde, sscs_sde, sscs2m_sde, "
                 "rk_ode, adaptive_ode); bb_ode runs a SciPy host loop")
         self.sde = build_sde(config)
         net, params = load_eval_state(config)

@@ -42,16 +42,31 @@ def test_consume_stream_order_and_threading():
 
 
 def test_consume_stream_overlaps():
-    t0 = time.time()
+    """Producer must run ahead of the consumer (that's the whole point of
+    the bounded queue). Asserted by event ordering, not wall-clock — a
+    loaded CI host must not flake this."""
+    events = []
+    lock = threading.Lock()
+
+    def mark(tag, i):
+        with lock:
+            events.append((tag, i))
 
     def produce():
         for i in range(4):
-            time.sleep(0.05)  # "device"
+            time.sleep(0.002)  # fast "device"
+            mark("p", i)
             yield i
 
-    consume_stream(produce(), lambda i: time.sleep(0.05), depth=2)  # "host"
-    # serial would be >= 0.4; overlapped ~0.25
-    assert time.time() - t0 < 0.35
+    def consume(i):
+        mark("c_start", i)
+        time.sleep(0.05)  # slow "host"
+        mark("c_end", i)
+
+    consume_stream(produce(), consume, depth=2)
+    # overlap: with a fast producer and depth-2 queue, items 1 and 2 are
+    # produced while item 0 is still being consumed (25x timing margin)
+    assert events.index(("p", 2)) < events.index(("c_end", 0)), events
 
 
 def test_consume_stream_propagates_consumer_error_no_deadlock():
