@@ -31,14 +31,17 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(batch, mesh: Mesh, axis_name: str = "data",
-                batch_axis: int = 0):
+                batch_axis: int = 0, sharding: NamedSharding | None = None):
     """Place a host array onto the mesh, sharded along the batch axis
     (``batch_axis=1`` for step-stacked [K, B, ...] multi-dispatch inputs).
+    Pass ``sharding`` to override the placement entirely (e.g. the 2-D
+    batch+height layout of ``parallel/spatial.py``).
 
     Multi-host: each process passes only its local slice of the global
     batch (see ``distributed.local_batch_slice``); the slices are assembled
     into one global array without cross-host transfers."""
-    sharding = batch_sharding(mesh, axis_name, batch_axis)
+    if sharding is None:
+        sharding = batch_sharding(mesh, axis_name, batch_axis)
     if jax.process_count() > 1:
         return jax.tree_util.tree_map(
             lambda x: jax.make_array_from_process_local_data(

@@ -17,7 +17,6 @@ import numpy as np
 
 from psld_tpu.data.loader import EpochLoader, get_dataset
 from psld_tpu.parallel.mesh import (
-    batch_sharding,
     make_mesh,
     replicate,
     shard_batch,
@@ -104,7 +103,18 @@ def _train_sde(config, stop, max_steps: int | None = None):
                    for p in jax.tree_util.tree_leaves(params))
     logger.info("score_fn: %.1fM params", n_params / 1e6)
 
-    mesh = make_mesh()
+    # training.spatial=S shards the image HEIGHT over a second mesh axis
+    # (activation parallelism for high-res models; parallel/spatial.py) --
+    # XLA inserts the per-conv halo exchanges from the batch annotation
+    spatial = int(tcfg.get("spatial", 1))
+    if spatial > 1:
+        from psld_tpu.parallel.spatial import (check_divisible,
+                                               make_spatial_mesh)
+
+        mesh = make_spatial_mesh(spatial)
+        check_divisible(int(config.data.image_size), mesh)
+    else:
+        mesh = make_mesh()
     # training.fsdp=true shards params/EMA/optimizer moments over the data
     # axis (ZeRO-3 via sharding annotations; parallel/fsdp.py) instead of
     # replicating them -- trades all-gather bandwidth for HBM headroom
@@ -138,7 +148,13 @@ def _train_sde(config, stop, max_steps: int | None = None):
     place = (lambda s: shard_tree(s, mesh)) if fsdp \
         else (lambda s: replicate(s, mesh))
     state = place(state)
-    b_sharding = batch_sharding(mesh)
+    if spatial > 1:
+        from psld_tpu.parallel.spatial import spatial_batch_sharding
+
+        b_shard = spatial_batch_sharding(mesh)
+        b_shard_k = spatial_batch_sharding(mesh, batch_axis=1)
+    else:
+        b_shard = b_shard_k = None
 
     start_epoch = 0
     restore = str(tcfg.restore_path or "")
@@ -148,8 +164,10 @@ def _train_sde(config, stop, max_steps: int | None = None):
         start_epoch = ckpt.epoch_from_path(restore)
         logger.info("restored %s at epoch %d", restore, start_epoch)
 
-    n_devices = mesh.devices.size
-    global_bs = int(tcfg.batch_size) * n_devices
+    # under spatial sharding a batch element spans a whole spatial group,
+    # so the batch only multiplies over the data axis
+    n_data = int(mesh.shape["data"])
+    global_bs = int(tcfg.batch_size) * n_data
     proc_idx, proc_count = jax.process_index(), jax.process_count()
     loader = EpochLoader(dataset, global_bs, shuffle=True, drop_last=True,
                          hflip=bool(config.data.hflip), seed=seed,
@@ -189,13 +207,14 @@ def _train_sde(config, stop, max_steps: int | None = None):
                             break
                         batch = shard_batch(
                             jnp.asarray(np.stack(chunk)), mesh,
-                            batch_axis=1)
+                            batch_axis=1, sharding=b_shard_k)
                         n_in = len(chunk)
                     else:
                         batch = next(batches, None)
                         if batch is None:
                             break
-                        batch = shard_batch(jnp.asarray(batch), mesh)
+                        batch = shard_batch(jnp.asarray(batch), mesh,
+                                            sharding=b_shard)
                         n_in = 1
                 with timer.phase("step"):
                     if spd > 1 and n_in < spd:

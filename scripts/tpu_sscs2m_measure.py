@@ -62,23 +62,26 @@ def main():
         lambda s: jnp.asarray(host.standard_normal(s.shape)
                               .astype(s.dtype) * 0.02), shapes)
 
-    def score_fn(x, t):
-        return net.apply(params, x, t)
-
     for nfe in (int(n) for n in args.nfes.split(",")):
         ts = make_timesteps(nfe - 1, 1e-3)
         z = sde.prior_sampling(jax.random.PRNGKey(0),
                                (batch, 32, 32, 3), jnp.float32)
         for name, cls in (("sscs_sde", SSCSSampler),
                           ("sscs2m_sde", SSCS2MSampler)):
-            smp = cls(cfg, sde, score_fn)
-            fn = jax.jit(lambda k, z, s=smp: s.sample(k, z, ts, nfe - 1))
+            # params must be a jit ARGUMENT: closing over them bakes the
+            # weights into the remote-compile request body (HTTP 413)
+            def run(params, k, z, cls=cls, ts=ts, n=nfe - 1):
+                smp = cls(cfg, sde,
+                          lambda zz, tt: net.apply(params, zz, tt))
+                return smp.sample(k, z, ts, n)
+
+            fn = jax.jit(run)
             t_c = time.time()
-            out = fn(jax.random.PRNGKey(1), z)
+            out = fn(params, jax.random.PRNGKey(1), z)
             _ = float(jnp.sum(out))  # host fetch forces completion
             compile_s = time.time() - t_c
             t = time.time()
-            out = fn(jax.random.PRNGKey(2), z)
+            out = fn(params, jax.random.PRNGKey(2), z)
             _ = float(jnp.sum(out))
             dt = time.time() - t
             print(json.dumps({
