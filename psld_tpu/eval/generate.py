@@ -136,9 +136,33 @@ def _run_sampler(config, sde, sampler_factory, params, writer, batch_source,
     ts = make_timesteps(n_eff, float(ecfg.eval_eps), sde.T,
                         str(ecfg.stride_type))
 
-    mesh = make_mesh()
-    per_step = int(ecfg.batch_size) * mesh.devices.size
+    # evaluation.spatial=S shards the image height over a second mesh axis
+    # (activation-parallel inference for high-res models; same mechanism as
+    # training.spatial — parallel/spatial.py)
+    sp = int(ecfg.get("spatial", 1))
+    if sp > 1:
+        from psld_tpu.parallel.spatial import (check_divisible,
+                                               make_spatial_mesh)
+
+        mesh = make_spatial_mesh(sp)
+        check_divisible(int(config.data.image_size), mesh)
+    else:
+        mesh = make_mesh()
+    per_step = int(ecfg.batch_size) * int(mesh.shape["data"])
+    if sp > 1:
+        from psld_tpu.parallel.spatial import spatial_batch_sharding
+
+        b_sharding = spatial_batch_sharding(mesh)
+    else:
+        from psld_tpu.parallel.mesh import batch_sharding
+
+        b_sharding = batch_sharding(mesh)
     rank, nproc, lockstep = _rank_info(config)
+    if lockstep and sp > 1:
+        raise NotImplementedError(
+            "evaluation.spatial under a multi-controller runtime: per-rank "
+            "shard writing assumes batch-only sharding; launch per-rank "
+            "jobs (evaluation.rank=R) instead")
     n_samples = -(-int(ecfg.n_samples) // nproc)  # this rank's share
     seed = int(ecfg.seed)
     key = jax.random.PRNGKey(seed)
@@ -168,8 +192,6 @@ def _run_sampler(config, sde, sampler_factory, params, writer, batch_source,
         if jit_cache is not None and cache_key in jit_cache:
             sample_jit = jit_cache[cache_key]
         else:
-            from psld_tpu.parallel.mesh import batch_sharding
-
             def _sample_with(s, k, b, ts_):
                 if reports_nfe:
                     # on-device adaptive solve: NFE counter rides the carry
@@ -179,8 +201,7 @@ def _run_sampler(config, sde, sampler_factory, params, writer, batch_source,
             if latent is not None:
                 def _run(params, k, ts_):
                     b = latent.sample_batch(k, per_step)
-                    b = jax.lax.with_sharding_constraint(
-                        b, batch_sharding(mesh))
+                    b = jax.lax.with_sharding_constraint(b, b_sharding)
                     return _sample_with(sampler_factory(params), k, b, ts_)
             else:
                 def _run(params, k, b, ts_):
@@ -220,7 +241,7 @@ def _run_sampler(config, sde, sampler_factory, params, writer, batch_source,
                     # full-width dispatch + host-side slice (serve mechanism)
                     batch = batch_source(k_batch, per_step, batch_idx, rank,
                                          nproc)
-                    batch = shard_batch(batch, mesh)
+                    batch = shard_batch(batch, mesh, sharding=b_sharding)
                     out = sample_jit(p, k_batch, batch, ts)
             prefix = (None if prefix_source is None
                       else prefix_source(batch_idx))
@@ -344,7 +365,9 @@ def class_cond_sample(config):
         rank, nproc, lockstep = _rank_info(dcfg)
         if lockstep:
             rank = 0
-        per_step = int(dcfg.evaluation.batch_size) * make_mesh().devices.size
+        per_step = int(dcfg.evaluation.batch_size) * (
+            make_mesh().devices.size
+            // int(dcfg.evaluation.get("spatial", 1)))
         per_rank = -(-int(dcfg.evaluation.n_samples) // nproc)
         n_slots = -(-per_rank // per_step) * nproc
         if n_slots < len(labels):

@@ -119,7 +119,8 @@ def test_spatial_composes_with_multi_step_dispatch():
                                rtol=1e-5)
 
 
-def test_train_loop_spatial_e2e(tmp_path):
+@pytest.fixture(scope="module")
+def spatial_trained(tmp_path_factory):
     """training.spatial=4 drives the real loop (synthetic data): 2-D mesh,
     global batch multiplies over `data` only, checkpoints written."""
     import glob
@@ -127,11 +128,12 @@ def test_train_loop_spatial_e2e(tmp_path):
     from psld_tpu.config import compose
     from psld_tpu.train.loop import train_sde
 
-    results = str(tmp_path / "results")
-    cfg = compose([
+    workdir = tmp_path_factory.mktemp("spatial_e2e")
+    results = str(workdir / "results")
+    argv = [
         "+dataset=cifar10/cifar10_psld",
         "dataset.diffusion.data.name=synthetic",
-        f"dataset.diffusion.data.root={tmp_path}",
+        f"dataset.diffusion.data.root={workdir}",
         "dataset.diffusion.data.image_size=16",
         "dataset.diffusion.model.score_fn.nf=8",
         "dataset.diffusion.model.score_fn.ch_mult=[1,2]",
@@ -142,13 +144,52 @@ def test_train_loop_spatial_e2e(tmp_path):
         "dataset.diffusion.training.epochs=1",
         "dataset.diffusion.training.chkpt_interval=1",
         f"dataset.diffusion.training.results_dir={results}",
-        "+dataset.diffusion.training.spatial=4",
-    ]).dataset.diffusion
+    ]
+    cfg = compose(argv + ["+dataset.diffusion.training.spatial=4"]
+                  ).dataset.diffusion
     state = train_sde(cfg, max_steps=2)
     assert int(state.step) == 2
     assert np.isfinite(float(jnp.sum(
         jax.tree_util.tree_leaves(state.params)[0])))
-    assert glob.glob(f"{results}/checkpoints/*epoch*")
+    ckpts = glob.glob(f"{results}/checkpoints/*epoch*")
+    assert ckpts
+    return workdir, argv, ckpts[0]
+
+
+def test_train_loop_spatial_e2e(spatial_trained):
+    workdir, argv, ckpt = spatial_trained
+    assert "epoch=0000" in ckpt
+
+
+def test_sample_spatial_matches_batch_sharded(spatial_trained):
+    """evaluation.spatial=4 (one latent's height split over 4 devices)
+    writes the same PNGs as the batch-sharded run: the traced prior draw is
+    placement-independent, so only float reduction order differs — at most
+    one uint8 quantization step per pixel."""
+    import glob
+
+    from psld_tpu.config import compose
+    from psld_tpu.eval.generate import sample
+    from psld_tpu.utils.images import load_images_rgb
+
+    workdir, argv, ckpt = spatial_trained
+    outs = {}
+    for tag, extra in (("dp", []),
+                       ("sp", ["+dataset.diffusion.evaluation.spatial=4"])):
+        save = str(workdir / f"samples_{tag}")
+        cfg = compose(argv + [
+            f"dataset.diffusion.evaluation.chkpt_path={ckpt}",
+            f"dataset.diffusion.evaluation.save_path={save}",
+            "dataset.diffusion.evaluation.n_samples=4",
+            "dataset.diffusion.evaluation.batch_size=2",
+            "dataset.diffusion.evaluation.n_discrete_steps=5",
+        ] + extra).dataset.diffusion
+        assert sample(cfg) == 4
+        pngs = sorted(glob.glob(f"{save}/images/*.png"))
+        assert len(pngs) == 4, pngs
+        outs[tag] = load_images_rgb(pngs).astype(np.int16)
+    diff = np.abs(outs["dp"] - outs["sp"]).max()
+    assert diff <= 1, f"max pixel diff {diff}"
 
 
 def test_train_loop_spatial_indivisible_raises(tmp_path):
