@@ -129,6 +129,10 @@ def _train_sde(config, stop, max_steps: int | None = None):
     # lax.scan (numerically equivalent to K single dispatches) -- on
     # remote/tunneled runtimes per-dispatch latency otherwise dominates
     spd = int(tcfg.get("steps_per_dispatch", 1))
+    # grad_accum > 1 stacks A microbatches per optimizer step (grads
+    # averaged inside the compiled step, train/steps.py) -- the effective
+    # batch is batch_size * data_shards * A
+    accum = int(tcfg.get("grad_accum", 1))
     if spd > 1:
         from psld_tpu.train.steps import make_multi_train_step
 
@@ -148,11 +152,15 @@ def _train_sde(config, stop, max_steps: int | None = None):
     place = (lambda s: shard_tree(s, mesh)) if fsdp \
         else (lambda s: replicate(s, mesh))
     state = place(state)
+    # batch layouts: [B,...] plain, [A,B,...] grad_accum, [K,B,...] spd,
+    # [K,A,B,...] both -- the data (and spatial) axes shift right accordingly
+    ax1 = 1 if accum > 1 else 0
+    axk = ax1 + 1
     if spatial > 1:
         from psld_tpu.parallel.spatial import spatial_batch_sharding
 
-        b_shard = spatial_batch_sharding(mesh)
-        b_shard_k = spatial_batch_sharding(mesh, batch_axis=1)
+        b_shard = spatial_batch_sharding(mesh, batch_axis=ax1)
+        b_shard_k = spatial_batch_sharding(mesh, batch_axis=axk)
     else:
         b_shard = b_shard_k = None
 
@@ -196,19 +204,36 @@ def _train_sde(config, stop, max_steps: int | None = None):
             batches = iter(loader)
             while True:
                 with timer.phase("data"):
-                    if spd > 1:
+                    if spd > 1 or accum > 1:
                         chunk = []
-                        for _ in range(spd):
+                        for _ in range(spd * accum):
                             b = next(batches, None)
                             if b is None:
                                 break
                             chunk.append(b)
-                        if not chunk:
+                        n_in = len(chunk) // accum
+                        if n_in == 0:
+                            if chunk:
+                                # tail microbatches that don't fill one
+                                # accumulation group are dropped (optimizer
+                                # -step-granular drop_last)
+                                logger.info(
+                                    "dropping %d tail microbatches "
+                                    "(< grad_accum=%d)", len(chunk), accum)
                             break
-                        batch = shard_batch(
-                            jnp.asarray(np.stack(chunk)), mesh,
-                            batch_axis=1, sharding=b_shard_k)
-                        n_in = len(chunk)
+                        arr = np.stack(chunk[:n_in * accum])
+                        if accum > 1:
+                            arr = arr.reshape((n_in, accum)
+                                              + arr.shape[1:])
+                        if spd > 1:
+                            batch = shard_batch(
+                                jnp.asarray(arr), mesh,
+                                batch_axis=axk, sharding=b_shard_k)
+                        else:
+                            batch = shard_batch(
+                                jnp.asarray(arr[0]), mesh,
+                                batch_axis=ax1, sharding=b_shard)
+                            n_in = 1
                     else:
                         batch = next(batches, None)
                         if batch is None:

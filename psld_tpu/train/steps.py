@@ -41,6 +41,11 @@ def make_train_step(net, sde, criterion, config, donate: bool = True,
     train_eps = float(config.training.train_eps)
     tau = float(config.training.ema_decay)
     use_ema = bool(config.training.use_ema)
+    # training.grad_accum=A: ``batch`` becomes A stacked microbatches
+    # [A, B, ...]; grads average over a lax.scan (one microbatch's
+    # activations live at a time -- the optimizer sees the full effective
+    # batch A*B, letting few chips run recipes written for many GPUs)
+    accum = int(config.training.get("grad_accum", 1))
     from psld_tpu.train.state import make_optimizer
 
     optimizer = make_optimizer(config.training.optimizer)
@@ -58,9 +63,27 @@ def make_train_step(net, sde, criterion, config, donate: bool = True,
 
     def step(state: TrainState, batch, rng):
         k_t, k_loss = jax.random.split(jax.random.fold_in(rng, state.step))
-        t = sample_times(k_t, batch.shape[0], train_eps, sde.T)
-        loss, grads = jax.value_and_grad(loss_fn)(state.params, batch, t,
-                                                  k_loss)
+        if accum > 1:
+            def body(carry, xs):
+                i, b = xs
+                t = sample_times(jax.random.fold_in(k_t, i), b.shape[0],
+                                 train_eps, sde.T)
+                loss_i, g_i = jax.value_and_grad(loss_fn)(
+                    state.params, b, t, jax.random.fold_in(k_loss, i))
+                loss_a, g_a = carry
+                g_a = jax.tree_util.tree_map(lambda a, g: a + g, g_a, g_i)
+                return (loss_a + loss_i.astype(jnp.float32), g_a), None
+
+            zeros = jax.tree_util.tree_map(jnp.zeros_like, state.params)
+            (loss, grads), _ = jax.lax.scan(
+                body, (jnp.zeros((), jnp.float32), zeros),
+                (jnp.arange(accum), batch))
+            loss = loss / accum
+            grads = jax.tree_util.tree_map(lambda g: g / accum, grads)
+        else:
+            t = sample_times(k_t, batch.shape[0], train_eps, sde.T)
+            loss, grads = jax.value_and_grad(loss_fn)(state.params, batch,
+                                                      t, k_loss)
         if param_shardings is not None:
             # FSDP: force the reduce-scatter of the data-parallel gradient
             # sum back to the parameter shards before the optimizer update
