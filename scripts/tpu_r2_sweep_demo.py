@@ -55,6 +55,13 @@ def main():
         "dataset.diffusion.evaluation.n_samples=256",
         "dataset.diffusion.evaluation.batch_size=64",
         "dataset.diffusion.evaluation.sample_prefix=tpu",
+        # sample the ONLINE params: at a few-thousand-step demo the 0.999
+        # EMA is a lagged average over fast-moving params -- measured on
+        # the chip to be off-manifold (EMA samples are pure noise, TV 0.49,
+        # while the online params sample structure, TV 0.09); EMA sampling
+        # needs >>10k settled steps (see .claude/skills/verify).  The sweep
+        # compares SAMPLERS, so any fixed learned weights are valid.
+        "dataset.diffusion.evaluation.sample_from=source",
     ]
     smoke = bool(os.environ.get("PSLD_DEMO_SMOKE"))
     if smoke:
@@ -67,8 +74,9 @@ def main():
         ]
     cfg = compose(overrides).dataset.diffusion
 
-    # 1. train until the loss demonstrates learning (~3k steps at bs128)
-    state = train_sde(cfg, max_steps=24 if smoke else 3000)
+    # 1. train until the loss demonstrates learning (~6k steps at bs128)
+    steps = int(os.environ.get("PSLD_DEMO_STEPS", 6000))
+    state = train_sde(cfg, max_steps=24 if smoke else steps)
     import glob
 
     ckpts = sorted(glob.glob(f"{results}/checkpoints/psld-*"))
@@ -92,7 +100,7 @@ def main():
     recs = run_sweep(
         cfg,
         samplers=["em_sde", "sscs_sde", "sscs2m_sde"],
-        nfes=[5] if smoke else [20, 50, 100],
+        nfes=[5] if smoke else [20, 50, 100, 1000],
         strides=["uniform", "quadratic"],
         out_dir=os.path.join(out_dir, "sweep"),
         ref_dir=ref_dir,
