@@ -41,6 +41,21 @@ def load_eval_state(config, net=None):
     state = ckpt.restore_checkpoint(str(config.evaluation.chkpt_path),
                                     abstract)
     use_ema = str(config.evaluation.sample_from) == "target"
+    if use_ema:
+        # measured trap (v5e, 3k-step run): before the EMA settles it is a
+        # lagged average over fast-moving params -- OFF-MANIFOLD weights
+        # that sample pure noise (TV 0.49) while the online params sample
+        # structure (TV 0.09). Settling needs step >> 1/(1-decay).
+        tau = float(config.training.ema_decay)
+        step = int(state.step)
+        horizon = int(5.0 / max(1e-12, 1.0 - tau))
+        if step < horizon:
+            logger.warning(
+                "sample_from=target after only %d train steps: the EMA "
+                "(decay=%s, time constant %d steps) is still a lagged "
+                "average over moving params and can sample pure noise -- "
+                "use sample_from=source or a smaller ema_decay for short "
+                "runs", step, tau, int(1.0 / max(1e-12, 1.0 - tau)))
     return net, (state.ema_params if use_ema else state.params)
 
 

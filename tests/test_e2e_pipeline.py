@@ -418,3 +418,27 @@ def test_sweep_fid_nfe_cli(trained, workdir, tmp_path):
         assert "pixel_stats" in rec
     # distinct combos produced distinct output dirs
     assert len(glob.glob(f"{out_dir}/*_nfe4_*/images/*.png")) == 16
+
+
+def test_unsettled_ema_sampling_warns(trained, workdir, caplog):
+    """sample_from=target on a few-step checkpoint warns that the EMA is
+    an unsettled lagged average (measured on-chip to sample pure noise);
+    sample_from=source stays silent."""
+    import logging
+
+    from psld_tpu.config import compose
+    from psld_tpu.eval.generate import load_eval_state
+
+    results, ckpt_path, argv = trained
+    base = argv + [f"dataset.diffusion.evaluation.chkpt_path={ckpt_path}"]
+    with caplog.at_level(logging.WARNING, logger="psld_tpu.eval.generate"):
+        load_eval_state(compose(
+            base + ["dataset.diffusion.evaluation.sample_from=target"]
+        ).dataset.diffusion)
+    assert any("lagged average" in r.message for r in caplog.records)
+    caplog.clear()
+    with caplog.at_level(logging.WARNING, logger="psld_tpu.eval.generate"):
+        load_eval_state(compose(
+            base + ["dataset.diffusion.evaluation.sample_from=source"]
+        ).dataset.diffusion)
+    assert not any("lagged average" in r.message for r in caplog.records)
