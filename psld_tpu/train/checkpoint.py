@@ -34,11 +34,54 @@ def save_checkpoint(directory: str, name: str, state: Any) -> str:
     return path
 
 
+class AsyncSaver:
+    """Long-lived async checkpoint writer for training loops.
+
+    ``StandardCheckpointer`` is an orbax AsyncCheckpointer: ``save()``
+    returns once the device->host copy is done (so donated state buffers
+    may be overwritten by the next step immediately) while serialization
+    and fsync run on orbax's background thread -- the checkpoint's write
+    time overlaps the NEXT interval of training instead of stalling the
+    step loop. The reference's Lightning callback blocks training for the
+    whole write (reference train_sde.py:67-73).
+
+    A new ``save()`` first drains the previous write (at most one
+    outstanding checkpoint). ALWAYS ``close()`` before process exit --
+    it waits for the last write and surfaces any background error.
+    """
+
+    def __init__(self):
+        self._ckptr = _checkpointer()
+
+    def save(self, directory: str, name: str, state: Any) -> str:
+        os.makedirs(directory, exist_ok=True)
+        path = os.path.abspath(os.path.join(directory, name))
+        self._ckptr.wait_until_finished()
+        self._ckptr.save(path, state)
+        return path
+
+    def wait(self) -> None:
+        self._ckptr.wait_until_finished()
+
+    def close(self) -> None:
+        self._ckptr.close()
+
+    def __enter__(self) -> "AsyncSaver":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()
+
+
 def latest_checkpoint(directory: str) -> str | None:
     if not os.path.isdir(directory):
         return None
     best, best_epoch = None, -1
     for entry in os.listdir(directory):
+        # skip the .meta.json resume sidecars (and any stray files):
+        # checkpoints are orbax DIRECTORIES
+        if not os.path.isdir(os.path.join(directory, entry)):
+            continue
         m = re.search(r"epoch=(\d+)", entry)
         if m and int(m.group(1)) > best_epoch:
             best, best_epoch = entry, int(m.group(1))
@@ -70,3 +113,32 @@ def restore_checkpoint(path: str, abstract_state: Any) -> Any:
 def epoch_from_path(path: str) -> int:
     m = re.search(r"epoch=(\d+)", os.path.basename(path))
     return int(m.group(1)) if m else 0
+
+
+def write_meta(path: str, epoch: int, complete: bool) -> None:
+    """Sidecar resume metadata (``<ckpt>.meta.json``, NEXT TO the orbax
+    directory -- orbax validates the directory contents on restore).
+
+    ``complete=True``: the named epoch finished -- resume at epoch+1
+    (Lightning ``ckpt_path`` semantics, reference train_sde.py:117-120).
+    ``complete=False``: preemption/max_steps stopped mid-epoch -- resume
+    REPLAYS that epoch from its start so no data is silently skipped
+    (the restored step counter still advances monotonically)."""
+    import json
+
+    with open(path + ".meta.json", "w") as f:
+        json.dump({"epoch": int(epoch), "complete": bool(complete)}, f)
+
+
+def resume_epoch(path: str) -> int:
+    """First epoch to run when resuming from ``path``. Prefers the meta
+    sidecar; falls back to the filename (old checkpoints: conservative
+    replay of the named epoch)."""
+    import json
+
+    meta_path = str(path) + ".meta.json"
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            meta = json.load(f)
+        return int(meta["epoch"]) + (1 if meta.get("complete") else 0)
+    return epoch_from_path(str(path))

@@ -166,11 +166,23 @@ def _train_sde(config, stop, max_steps: int | None = None):
 
     start_epoch = 0
     restore = str(tcfg.restore_path or "")
+    ckpt_dir_ = f"{tcfg.results_dir}/checkpoints"
+    if restore == "latest" or (not restore and bool(tcfg.get("auto_resume",
+                                                             False))):
+        # restore_path=latest / auto_resume=true: pick up the newest
+        # checkpoint in this run's own results_dir (restart-safe training
+        # on preemptible hosts -- relaunch the SAME command and continue);
+        # silently a fresh start when none exists yet
+        restore = ckpt.latest_checkpoint(ckpt_dir_) or ""
+        if not restore and str(tcfg.restore_path or "") == "latest":
+            logger.info("restore_path=latest: no checkpoint in %s yet, "
+                        "starting fresh", ckpt_dir_)
     if restore:
         state = ckpt.restore_checkpoint(restore, state)
         state = place(state)
-        start_epoch = ckpt.epoch_from_path(restore)
-        logger.info("restored %s at epoch %d", restore, start_epoch)
+        start_epoch = ckpt.resume_epoch(restore)
+        logger.info("restored %s, resuming at epoch %d", restore,
+                    start_epoch)
 
     # under spatial sharding a batch element spans a whole spatial group,
     # so the batch only multiplies over the data axis
@@ -197,6 +209,9 @@ def _train_sde(config, stop, max_steps: int | None = None):
     timer = profiling.StepTimer()
     btrace = profiling.BoundedTrace(str(tcfg.get("profile_dir", "") or ""),
                                     int(tcfg.get("profile_steps", 10)))
+    # async checkpointing: save() returns after the device->host copy;
+    # the write overlaps the next interval of training (closed in finally)
+    saver = ckpt.AsyncSaver()
 
     try:
         for epoch in range(start_epoch, int(tcfg.epochs)):
@@ -266,13 +281,19 @@ def _train_sde(config, stop, max_steps: int | None = None):
                     break
             logger.info("epoch %d: loss=%.4f (%.1fs)", epoch, last_loss,
                         time.time() - t_epoch)
-            if stop.requested or (epoch + 1) % int(tcfg.chkpt_interval) == 0 \
-                    or (max_steps is not None and total_steps >= max_steps):
+            # stop/max_steps break out MID-epoch: mark the checkpoint
+            # incomplete so resume replays this epoch instead of skipping
+            # its unseen tail; a completed-epoch checkpoint resumes at
+            # epoch+1 (Lightning ckpt_path parity)
+            interrupted = stop.requested or (
+                max_steps is not None and total_steps >= max_steps)
+            if interrupted or (epoch + 1) % int(tcfg.chkpt_interval) == 0:
                 with timer.phase("ckpt"):
                     name = ckpt.checkpoint_name(sde.type,
                                                 str(tcfg.chkpt_prefix),
                                                 epoch, last_loss)
-                    path = ckpt.save_checkpoint(ckpt_dir, name, state)
+                    path = saver.save(ckpt_dir, name, state)
+                    ckpt.write_meta(path, epoch, complete=not interrupted)
                 logger.info("checkpoint: %s", path)
             if stop.requested or (
                     max_steps is not None and total_steps >= max_steps):
@@ -283,6 +304,7 @@ def _train_sde(config, stop, max_steps: int | None = None):
                 break
     finally:
         btrace.stop()
+        saver.close()  # waits for the in-flight write; surfaces its errors
         logger.info("timing: %s", timer.summary())
         mlog.close()
     return state
@@ -338,7 +360,7 @@ def _train_clf(config, stop, max_steps: int | None = None):
     if restore:
         state = ckpt.restore_checkpoint(restore, state)
         state = replicate(state, mesh)
-        start_epoch = ckpt.epoch_from_path(restore)
+        start_epoch = ckpt.resume_epoch(restore)
 
     global_bs = int(tcfg.batch_size) * mesh.devices.size
     loader = EpochLoader(dataset, global_bs, shuffle=True, drop_last=True,
@@ -393,11 +415,13 @@ def _train_clf(config, stop, max_steps: int | None = None):
                 for k, v in metrics.items()}
         logger.info("epoch %d: loss=%.4f top1=%.3f", epoch, last["loss"],
                     last["top1"])
-        if stop.requested or (epoch + 1) % int(tcfg.chkpt_interval) == 0 or (
-                max_steps is not None and total_steps >= max_steps):
+        interrupted = stop.requested or (
+            max_steps is not None and total_steps >= max_steps)
+        if interrupted or (epoch + 1) % int(tcfg.chkpt_interval) == 0:
             name = ckpt.checkpoint_name("clf", str(tcfg.chkpt_prefix), epoch,
                                         last["loss"])
-            ckpt.save_checkpoint(ckpt_dir, name, state)
+            path = ckpt.save_checkpoint(ckpt_dir, name, state)
+            ckpt.write_meta(path, epoch, complete=not interrupted)
         if stop.requested or (
                 max_steps is not None and total_steps >= max_steps):
             if stop.requested:

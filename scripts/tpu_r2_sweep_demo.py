@@ -79,7 +79,8 @@ def main():
     state = train_sde(cfg, max_steps=24 if smoke else steps)
     import glob
 
-    ckpts = sorted(glob.glob(f"{results}/checkpoints/psld-*"))
+    ckpts = sorted(c for c in glob.glob(f"{results}/checkpoints/psld-*")
+                   if not c.endswith(".meta.json"))
     assert ckpts, "no checkpoint written"
     print(json.dumps({"phase": "train", "steps": int(state.step),
                       "checkpoint": ckpts[-1]}), flush=True)

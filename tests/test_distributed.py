@@ -143,7 +143,8 @@ def test_sigterm_mid_training_checkpoints_and_resumes(tmp_path):
     finally:
         fired.set()
         killer.join(timeout=5.0)
-    ckpts = glob.glob(f"{results}/checkpoints/psld-*")
+    ckpts = [c for c in glob.glob(f"{results}/checkpoints/psld-*")
+             if not c.endswith(".meta.json")]
     assert len(ckpts) == 1, ckpts
 
     # and the checkpoint restores

@@ -48,7 +48,8 @@ def trained(workdir):
     cfg = compose(argv)
     # cap steps for CI speed (the CLI itself runs full epochs)
     train_sde(cfg.dataset.diffusion, max_steps=6)
-    ckpts = glob.glob(f"{results}/checkpoints/psld-*")
+    ckpts = [c for c in glob.glob(f"{results}/checkpoints/psld-*")
+             if not c.endswith(".meta.json")]
     assert len(ckpts) == 1, ckpts
     return results, ckpts[0], argv
 
@@ -194,7 +195,8 @@ def test_clf_train_and_guided_sample(trained, workdir):
     ]
     cfg = compose(clf_argv)
     train_clf(cfg.dataset, max_steps=4)
-    clf_ckpts = _glob.glob(f"{clf_results}/checkpoints/clf-*")
+    clf_ckpts = [c for c in _glob.glob(f"{clf_results}/checkpoints/clf-*")
+                 if not c.endswith(".meta.json")]
     assert len(clf_ckpts) == 1, clf_ckpts
 
     save = str(workdir / "cc_samples")

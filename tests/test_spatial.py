@@ -151,7 +151,8 @@ def spatial_trained(tmp_path_factory):
     assert int(state.step) == 2
     assert np.isfinite(float(jnp.sum(
         jax.tree_util.tree_leaves(state.params)[0])))
-    ckpts = glob.glob(f"{results}/checkpoints/*epoch*")
+    ckpts = [c for c in glob.glob(f"{results}/checkpoints/*epoch*")
+             if not c.endswith(".meta.json")]
     assert ckpts
     return workdir, argv, ckpts[0]
 
