@@ -244,8 +244,9 @@ def test_checkpoint_resume(trained, workdir):
         f"dataset.diffusion.training.restore_path={ckpt_path}",
     ])
     cfg.dataset.diffusion.training.results_dir = results2
-    state = train_sde(cfg.dataset.diffusion, max_steps=2)
-    assert int(state.step) == 8  # 6 from first run + 2 resumed
+    # max_steps is a GLOBAL budget: the restored 6 steps count toward it
+    state = train_sde(cfg.dataset.diffusion, max_steps=8)
+    assert int(state.step) == 8  # 6 restored + 2 resumed
 
 
 def test_likelihood_from_checkpoint(trained):
