@@ -199,7 +199,10 @@ def _run_sampler(config, sde, sampler_factory, params, writer, batch_source,
     if is_host_loop:
         sampler = sampler_factory(params)
     else:
+        # per_step and b_sharding are baked into the compiled closure, so
+        # they must be part of the cache identity too
         cache_key = (sampler_name, n_eff, denoise, eps, latent is not None,
+                     per_step, sp,
                      str(ecfg.sampler.get("solver", "")),
                      str(ecfg.sampler.get("corrector", "none")),
                      int(ecfg.sampler.get("corrector_steps", 1)),

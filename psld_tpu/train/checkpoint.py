@@ -76,15 +76,26 @@ class AsyncSaver:
 def latest_checkpoint(directory: str) -> str | None:
     if not os.path.isdir(directory):
         return None
-    best, best_epoch = None, -1
+    best, best_key = None, (-1, -1.0)
     for entry in os.listdir(directory):
+        full = os.path.join(directory, entry)
         # skip the .meta.json resume sidecars (and any stray files):
         # checkpoints are orbax DIRECTORIES
-        if not os.path.isdir(os.path.join(directory, entry)):
+        if not os.path.isdir(full):
+            continue
+        # skip in-flight/abandoned async writes: a preemption mid-save
+        # leaves '<name>.orbax-checkpoint-tmp' behind, which would
+        # otherwise win the epoch comparison and crash every auto-resume
+        if ".orbax-checkpoint-tmp" in entry:
             continue
         m = re.search(r"epoch=(\d+)", entry)
-        if m and int(m.group(1)) > best_epoch:
-            best, best_epoch = entry, int(m.group(1))
+        if not m:
+            continue
+        # interrupted->replay runs can write the SAME epoch twice; break
+        # ties by mtime so resume picks the newer state deterministically
+        key = (int(m.group(1)), os.path.getmtime(full))
+        if key > best_key:
+            best, best_key = entry, key
     return os.path.join(directory, best) if best else None
 
 

@@ -111,6 +111,14 @@ def _train_sde(config, stop, max_steps: int | None = None):
         from psld_tpu.parallel.spatial import (check_divisible,
                                                make_spatial_mesh)
 
+        if jax.process_count() > 1:
+            # the loader feeds each process full-height batch slices; a
+            # spatial group spanning processes would need height-sliced
+            # per-process data assembly (same restriction as
+            # evaluation.spatial under lockstep, eval/generate.py)
+            raise NotImplementedError(
+                "training.spatial under a multi-controller runtime is not "
+                "supported: spatial groups must stay within one process")
         mesh = make_spatial_mesh(spatial)
         check_divisible(int(config.data.image_size), mesh)
     else:
@@ -166,17 +174,17 @@ def _train_sde(config, stop, max_steps: int | None = None):
 
     start_epoch = 0
     restore = str(tcfg.restore_path or "")
-    ckpt_dir_ = f"{tcfg.results_dir}/checkpoints"
+    ckpt_dir = f"{tcfg.results_dir}/checkpoints"
     if restore == "latest" or (not restore and bool(tcfg.get("auto_resume",
                                                              False))):
         # restore_path=latest / auto_resume=true: pick up the newest
         # checkpoint in this run's own results_dir (restart-safe training
         # on preemptible hosts -- relaunch the SAME command and continue);
         # silently a fresh start when none exists yet
-        restore = ckpt.latest_checkpoint(ckpt_dir_) or ""
+        restore = ckpt.latest_checkpoint(ckpt_dir) or ""
         if not restore and str(tcfg.restore_path or "") == "latest":
             logger.info("restore_path=latest: no checkpoint in %s yet, "
-                        "starting fresh", ckpt_dir_)
+                        "starting fresh", ckpt_dir)
     if restore:
         state = ckpt.restore_checkpoint(restore, state)
         state = place(state)
@@ -193,8 +201,16 @@ def _train_sde(config, stop, max_steps: int | None = None):
                          hflip=bool(config.data.hflip), seed=seed,
                          process_index=proc_idx, process_count=proc_count)
     rng = jax.random.PRNGKey(seed)
-    ckpt_dir = f"{tcfg.results_dir}/checkpoints"
     log_step = int(tcfg.log_step)
+    # max_steps is a GLOBAL step budget: a resumed run counts its restored
+    # steps toward it (int() once here -- no per-step host sync)
+    base_steps = int(state.step)
+    if max_steps is not None and base_steps >= max_steps:
+        # relaunching a finished run must not train past the budget (nor
+        # write a drifting extra checkpoint per relaunch)
+        logger.info("max_steps=%d already reached at restore (step %d): "
+                    "nothing to do", max_steps, base_steps)
+        return state
     total_steps = 0
     last_loss = float("nan")
 
@@ -227,14 +243,16 @@ def _train_sde(config, stop, max_steps: int | None = None):
                                 break
                             chunk.append(b)
                         n_in = len(chunk) // accum
+                        # tail microbatches that don't fill one
+                        # accumulation group are dropped (optimizer-step-
+                        # granular drop_last) -- log the drop whether or
+                        # not a full group also formed in this chunk
+                        dropped = len(chunk) - n_in * accum
+                        if dropped:
+                            logger.info(
+                                "dropping %d tail microbatches "
+                                "(< grad_accum=%d)", dropped, accum)
                         if n_in == 0:
-                            if chunk:
-                                # tail microbatches that don't fill one
-                                # accumulation group are dropped (optimizer
-                                # -step-granular drop_last)
-                                logger.info(
-                                    "dropping %d tail microbatches "
-                                    "(< grad_accum=%d)", len(chunk), accum)
                             break
                         arr = np.stack(chunk[:n_in * accum])
                         if accum > 1:
@@ -277,7 +295,7 @@ def _train_sde(config, stop, max_steps: int | None = None):
                              grad_norm=float(metrics["grad_norm"]),
                              epoch=epoch)
                 if stop.requested or (
-                        max_steps is not None and total_steps >= max_steps):
+                        max_steps is not None and base_steps + total_steps >= max_steps):
                     break
             logger.info("epoch %d: loss=%.4f (%.1fs)", epoch, last_loss,
                         time.time() - t_epoch)
@@ -286,7 +304,7 @@ def _train_sde(config, stop, max_steps: int | None = None):
             # its unseen tail; a completed-epoch checkpoint resumes at
             # epoch+1 (Lightning ckpt_path parity)
             interrupted = stop.requested or (
-                max_steps is not None and total_steps >= max_steps)
+                max_steps is not None and base_steps + total_steps >= max_steps)
             if interrupted or (epoch + 1) % int(tcfg.chkpt_interval) == 0:
                 with timer.phase("ckpt"):
                     name = ckpt.checkpoint_name(sde.type,
@@ -296,7 +314,7 @@ def _train_sde(config, stop, max_steps: int | None = None):
                     ckpt.write_meta(path, epoch, complete=not interrupted)
                 logger.info("checkpoint: %s", path)
             if stop.requested or (
-                    max_steps is not None and total_steps >= max_steps):
+                    max_steps is not None and base_steps + total_steps >= max_steps):
                 if stop.requested:
                     logger.warning(
                         "graceful shutdown: checkpointed at epoch %d "
@@ -369,6 +387,11 @@ def _train_clf(config, stop, max_steps: int | None = None):
                          process_count=jax.process_count())
     rng = jax.random.PRNGKey(seed)
     ckpt_dir = f"{tcfg.results_dir}/checkpoints"
+    base_steps = int(state.step)
+    if max_steps is not None and base_steps >= max_steps:
+        logger.info("max_steps=%d already reached at restore (step %d): "
+                    "nothing to do", max_steps, base_steps)
+        return state
     total_steps = 0
     metrics = {"loss": jnp.nan, "top1": jnp.nan}
     last = {"loss": float("nan"), "top1": float("nan")}
@@ -407,7 +430,7 @@ def _train_clf(config, stop, max_steps: int | None = None):
                 state, metrics = step_fn(state, x, y, rng)
                 total_steps += 1
             if stop.requested or (
-                    max_steps is not None and total_steps >= max_steps):
+                    max_steps is not None and base_steps + total_steps >= max_steps):
                 break
         # materialize metrics once per epoch (a per-step float() would force
         # a host sync every dispatch)
@@ -416,14 +439,14 @@ def _train_clf(config, stop, max_steps: int | None = None):
         logger.info("epoch %d: loss=%.4f top1=%.3f", epoch, last["loss"],
                     last["top1"])
         interrupted = stop.requested or (
-            max_steps is not None and total_steps >= max_steps)
+            max_steps is not None and base_steps + total_steps >= max_steps)
         if interrupted or (epoch + 1) % int(tcfg.chkpt_interval) == 0:
             name = ckpt.checkpoint_name("clf", str(tcfg.chkpt_prefix), epoch,
                                         last["loss"])
             path = ckpt.save_checkpoint(ckpt_dir, name, state)
             ckpt.write_meta(path, epoch, complete=not interrupted)
         if stop.requested or (
-                max_steps is not None and total_steps >= max_steps):
+                max_steps is not None and base_steps + total_steps >= max_steps):
             if stop.requested:
                 logger.warning(
                     "graceful shutdown: checkpointed at epoch %d (step %d)",

@@ -48,7 +48,11 @@ def main():
         "dataset.diffusion.model.score_fn.attn_resolutions=[16]",
         "dataset.diffusion.training.batch_size=128",
         "dataset.diffusion.training.epochs=10000",
-        "dataset.diffusion.training.chkpt_interval=10000",
+        "dataset.diffusion.training.chkpt_interval=250",
+        # tunnel hiccups happen on multi-hour runs: checkpoint every
+        # ~1000 steps and auto-resume, so a relaunch continues (the
+        # global max_steps budget counts restored steps)
+        "dataset.diffusion.training.restore_path=latest",
         "dataset.diffusion.training.ema_decay=0.999",
         "+dataset.diffusion.training.steps_per_dispatch=8",
         f"dataset.diffusion.training.results_dir={results}",

@@ -183,3 +183,98 @@ def test_restore_path_latest_and_auto_resume(tmp_path):
         "+dataset.diffusion.training.auto_resume=true",
     ]).dataset.diffusion
     assert int(train_sde(cfg3).step) == 24
+
+
+def test_max_steps_is_global_budget(tmp_path):
+    """max_steps counts RESTORED steps too: resume at step 8 with
+    max_steps=12 trains only 4 more steps, checkpointing as interrupted."""
+    import psld_tpu
+
+    psld_tpu.import_modules_into_registry()
+    from psld_tpu.config import compose
+    from psld_tpu.train.loop import train_sde
+
+    results = str(tmp_path / "results")
+    base = [
+        "+dataset=cifar10/cifar10_psld",
+        "dataset.diffusion.data.name=synthetic",
+        f"dataset.diffusion.data.root={tmp_path}",
+        "dataset.diffusion.data.image_size=16",
+        "dataset.diffusion.model.score_fn.nf=8",
+        "dataset.diffusion.model.score_fn.ch_mult=[1,2]",
+        "dataset.diffusion.model.score_fn.num_res_blocks=1",
+        "dataset.diffusion.model.score_fn.attn_resolutions=[8]",
+        "dataset.diffusion.training.batch_size=8",
+        "dataset.diffusion.training.chkpt_interval=1",
+        "dataset.diffusion.training.epochs=10",
+        f"dataset.diffusion.training.results_dir={results}",
+        "dataset.diffusion.training.restore_path=latest",
+    ]
+    cfg = compose(base).dataset.diffusion
+    assert int(train_sde(cfg, max_steps=8).step) == 8
+    cfg2 = compose(base).dataset.diffusion
+    assert int(train_sde(cfg2, max_steps=12).step) == 12
+
+
+def test_latest_checkpoint_skips_orbax_tmp_and_breaks_ties_by_mtime(
+        tmp_path):
+    """A preemption mid-async-save leaves '<name>.orbax-checkpoint-tmp'
+    behind -- latest_checkpoint must never pick it (it would crash every
+    auto-resume). Same-epoch twins (interrupted->replay runs) resolve to
+    the newer mtime."""
+    import os
+    import time
+
+    ckpt.save_checkpoint(str(tmp_path), "psld-x-epoch=0003-loss=0.5000",
+                         _state(2))
+    # abandoned async write with a HIGHER epoch
+    os.makedirs(str(
+        tmp_path / "psld-x-epoch=0009-loss=0.1000.orbax-checkpoint-tmp"))
+    got = ckpt.latest_checkpoint(str(tmp_path))
+    assert got and got.endswith("epoch=0003-loss=0.5000")
+
+    # same-epoch twin written later must win
+    time.sleep(0.05)
+    ckpt.save_checkpoint(str(tmp_path), "psld-x-epoch=0003-loss=0.4000",
+                         _state(2))
+    got = ckpt.latest_checkpoint(str(tmp_path))
+    assert got.endswith("epoch=0003-loss=0.4000")
+
+
+def test_relaunch_of_finished_run_trains_zero_steps(tmp_path):
+    """Relaunching a run whose global max_steps budget is already met must
+    not run even one dispatch (nor write another checkpoint)."""
+    import glob
+
+    import psld_tpu
+
+    psld_tpu.import_modules_into_registry()
+    from psld_tpu.config import compose
+    from psld_tpu.train.loop import train_sde
+
+    results = str(tmp_path / "results")
+    base = [
+        "+dataset=cifar10/cifar10_psld",
+        "dataset.diffusion.data.name=synthetic",
+        f"dataset.diffusion.data.root={tmp_path}",
+        "dataset.diffusion.data.image_size=16",
+        "dataset.diffusion.model.score_fn.nf=8",
+        "dataset.diffusion.model.score_fn.ch_mult=[1,2]",
+        "dataset.diffusion.model.score_fn.num_res_blocks=1",
+        "dataset.diffusion.model.score_fn.attn_resolutions=[8]",
+        "dataset.diffusion.training.batch_size=8",
+        "dataset.diffusion.training.chkpt_interval=1",
+        "dataset.diffusion.training.epochs=10",
+        f"dataset.diffusion.training.results_dir={results}",
+        "dataset.diffusion.training.restore_path=latest",
+        "+dataset.diffusion.training.steps_per_dispatch=4",
+    ]
+    cfg = compose(base).dataset.diffusion
+    assert int(train_sde(cfg, max_steps=8).step) == 8
+    n_ckpts = len([c for c in glob.glob(f"{results}/checkpoints/psld-*")
+                   if not c.endswith(".meta.json")])
+    cfg2 = compose(base).dataset.diffusion
+    assert int(train_sde(cfg2, max_steps=8).step) == 8  # no extra steps
+    n_ckpts2 = len([c for c in glob.glob(f"{results}/checkpoints/psld-*")
+                    if not c.endswith(".meta.json")])
+    assert n_ckpts2 == n_ckpts  # and no drifting extra checkpoint

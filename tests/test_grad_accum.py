@@ -170,3 +170,24 @@ def test_train_loop_grad_accum_drops_partial_tail(tmp_path, caplog):
     assert int(state.step) == 6
     assert any("dropping 2 tail microbatches" in r.message
                for r in caplog.records)
+
+
+def test_partial_tail_drop_is_logged_even_with_full_groups(tmp_path,
+                                                           caplog):
+    """spd=4, accum=3: the epoch's last chunk holds 8 microbatches = 2
+    full groups + 2 dropped -- the drop must be logged even though
+    training continues with the full groups (32 mb -> 10 optimizer
+    steps)."""
+    import logging
+
+    from psld_tpu.train.loop import train_sde
+
+    cfg, results = _loop_cfg(tmp_path, [
+        "+dataset.diffusion.training.grad_accum=3",
+        "+dataset.diffusion.training.steps_per_dispatch=4",
+    ])
+    with caplog.at_level(logging.INFO, logger="psld_tpu.train.loop"):
+        state = train_sde(cfg)
+    assert int(state.step) == 10
+    assert any("dropping 2 tail microbatches" in r.message
+               for r in caplog.records)
