@@ -25,6 +25,7 @@ from psld_tpu.registry import get_module
 from psld_tpu.train import checkpoint as ckpt
 from psld_tpu.train.state import init_state
 from psld_tpu.train.steps import make_clf_train_step, make_train_step
+from psld_tpu.utils.pipeline import prefetch_iter
 
 logger = logging.getLogger(__name__)
 
@@ -141,6 +142,7 @@ def _train_sde(config, stop, max_steps: int | None = None):
     # averaged inside the compiled step, train/steps.py) -- the effective
     # batch is batch_size * data_shards * A
     accum = int(tcfg.get("grad_accum", 1))
+    prefetch = int(tcfg.get("prefetch", 2))
     if spd > 1:
         from psld_tpu.train.steps import make_multi_train_step
 
@@ -232,7 +234,10 @@ def _train_sde(config, stop, max_steps: int | None = None):
     try:
         for epoch in range(start_epoch, int(tcfg.epochs)):
             t_epoch = time.time()
-            batches = iter(loader)
+            # training.prefetch=D (default 2): the loader's host work for
+            # the next D microbatches overlaps device execution; 0 disables
+            batches = (prefetch_iter(iter(loader), depth=prefetch)
+                       if prefetch > 0 else iter(loader))
             while True:
                 with timer.phase("data"):
                     if spd > 1 or accum > 1:
@@ -358,6 +363,7 @@ def _train_clf(config, stop, max_steps: int | None = None):
                                jnp.full((2,), 0.5, jnp.float32))
 
     spd = int(tcfg.get("steps_per_dispatch", 1))
+    prefetch = int(tcfg.get("prefetch", 2))
     if spd > 1:
         from psld_tpu.train.steps import make_multi_clf_train_step
 
@@ -397,7 +403,8 @@ def _train_clf(config, stop, max_steps: int | None = None):
     last = {"loss": float("nan"), "top1": float("nan")}
 
     for epoch in range(start_epoch, int(tcfg.epochs)):
-        pending = iter(loader)
+        pending = (prefetch_iter(iter(loader), depth=prefetch)
+                   if prefetch > 0 else iter(loader))
         while True:
             if spd > 1:
                 chunk = []

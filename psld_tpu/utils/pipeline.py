@@ -86,3 +86,62 @@ def lagged(items: Iterable[T]) -> Iterator[T]:
         yield prev
         prev = item
     yield prev
+
+
+def prefetch_iter(items: Iterable[T], depth: int = 2) -> Iterator[T]:
+    """Iterate ``items`` on a background thread, staying up to ``depth``
+    elements ahead of the consumer.
+
+    The training-loop use: the loader's decode/augment/stack host work for
+    the NEXT dispatch runs while the device executes the current one
+    (image-folder datasets otherwise serialize seconds of PIL decode into
+    every dispatch gap). Order and RNG consumption are unchanged — one
+    producer thread walks the iterator sequentially, so runs are
+    bit-deterministic vs the unprefetched loop. Producer exceptions
+    re-raise at the consumer's ``next()``; abandoning the iterator
+    (generator close / GC) stops the thread promptly.
+    """
+    q: queue.Queue = queue.Queue(maxsize=max(1, int(depth)))
+    stop = threading.Event()
+
+    def _put(item) -> bool:
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.2)
+                return True
+            except queue.Full:
+                continue
+        return False
+
+    def producer():
+        try:
+            for x in items:
+                if not _put((None, x)):
+                    return
+        except BaseException as e:  # re-raised at the consumer
+            _put((e, None))
+            return
+        _put((None, _DONE))
+
+    t = threading.Thread(target=producer, name="psld-prefetch", daemon=True)
+
+    def gen():
+        t.start()
+        try:
+            while True:
+                err, x = q.get()
+                if err is not None:
+                    raise err
+                if x is _DONE:
+                    return
+                yield x
+        finally:
+            stop.set()
+            try:  # unblock a producer waiting on a full queue
+                while True:
+                    q.get_nowait()
+            except queue.Empty:
+                pass
+            t.join(timeout=5.0)
+
+    return gen()

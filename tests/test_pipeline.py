@@ -87,3 +87,108 @@ def test_consume_stream_propagates_producer_error():
 
     with pytest.raises(ValueError, match="producer died"):
         consume_stream(produce(), lambda i: None)
+
+
+def test_prefetch_iter_order_and_overlap():
+    """Order is preserved and the producer runs ahead: with a slow
+    consumer and depth 2, items 1-2 are produced before item 0 finishes
+    consuming (event-order assertion, load-immune)."""
+    from psld_tpu.utils.pipeline import prefetch_iter
+
+    events = []
+    lock = threading.Lock()
+
+    def mark(tag, i):
+        with lock:
+            events.append((tag, i))
+
+    def produce():
+        for i in range(4):
+            time.sleep(0.002)
+            mark("p", i)
+            yield i
+
+    got = []
+    for i in prefetch_iter(produce(), depth=2):
+        mark("c_start", i)
+        time.sleep(0.05)
+        got.append(i)
+        mark("c_end", i)
+    assert got == [0, 1, 2, 3]
+    assert events.index(("p", 2)) < events.index(("c_end", 0)), events
+
+
+def test_prefetch_iter_propagates_producer_error():
+    from psld_tpu.utils.pipeline import prefetch_iter
+
+    def produce():
+        yield 1
+        raise RuntimeError("boom")
+
+    it = prefetch_iter(produce(), depth=2)
+    assert next(it) == 1
+    with pytest.raises(RuntimeError, match="boom"):
+        list(it)
+
+
+def test_prefetch_iter_abandonment_stops_producer():
+    """Dropping the iterator mid-stream (max_steps break) must stop the
+    producer thread promptly even though the queue is full."""
+    from psld_tpu.utils.pipeline import prefetch_iter
+
+    alive = threading.Event()
+    done = threading.Event()
+
+    def produce():
+        alive.set()
+        for i in range(1000):
+            yield i
+        done.set()
+
+    it = prefetch_iter(produce(), depth=1)
+    assert next(it) == 0
+    assert alive.is_set()
+    it.close()  # what GC does when the loop rebinds `batches`
+    # the producer must NOT have run to completion (it was blocked on the
+    # bounded queue and then told to stop)
+    assert not done.is_set()
+    n = threading.active_count()
+    time.sleep(0.3)
+    assert threading.active_count() <= n  # no leaked prefetch thread
+
+
+def test_train_loop_prefetch_is_bit_deterministic(tmp_path):
+    """training.prefetch only moves loader work to a thread -- the
+    sequential iterator walk preserves RNG/order, so final params are
+    BITWISE equal to the unprefetched loop."""
+    import jax
+    import numpy as np
+
+    import psld_tpu
+
+    psld_tpu.import_modules_into_registry()
+    from psld_tpu.config import compose
+    from psld_tpu.train.loop import train_sde
+
+    outs = {}
+    for tag, pf in (("off", 0), ("on", 2)):
+        cfg = compose([
+            "+dataset=cifar10/cifar10_psld",
+            "dataset.diffusion.data.name=synthetic",
+            f"dataset.diffusion.data.root={tmp_path}",
+            "dataset.diffusion.data.image_size=16",
+            "dataset.diffusion.data.hflip=True",
+            "dataset.diffusion.model.score_fn.nf=8",
+            "dataset.diffusion.model.score_fn.ch_mult=[1,2]",
+            "dataset.diffusion.model.score_fn.num_res_blocks=1",
+            "dataset.diffusion.model.score_fn.attn_resolutions=[8]",
+            "dataset.diffusion.training.batch_size=8",
+            "dataset.diffusion.training.epochs=1",
+            "dataset.diffusion.training.chkpt_interval=100",
+            f"dataset.diffusion.training.results_dir={tmp_path}/r_{tag}",
+            f"+dataset.diffusion.training.prefetch={pf}",
+        ]).dataset.diffusion
+        outs[tag] = train_sde(cfg, max_steps=4)
+    for a, b in zip(jax.tree_util.tree_leaves(outs["off"].params),
+                    jax.tree_util.tree_leaves(outs["on"].params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
