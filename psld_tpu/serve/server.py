@@ -61,11 +61,25 @@ class SamplerService:
         n_eff = n_steps - 1 if self.denoise else n_steps
         ts = make_timesteps(n_eff, float(ecfg.eval_eps), self.sde.T,
                             str(ecfg.stride_type))
-        self.mesh = make_mesh()
+        # evaluation.spatial=S: height-sharded serving (one high-res sample
+        # spans S devices; parallel/spatial.py -- same flag as generate)
+        sp = int(ecfg.get("spatial", 1))
+        if sp > 1:
+            from psld_tpu.parallel.spatial import (check_divisible,
+                                                   make_spatial_mesh,
+                                                   spatial_batch_sharding)
+
+            self.mesh = make_spatial_mesh(sp)
+            check_divisible(int(config.data.image_size), self.mesh)
+            b_sharding = spatial_batch_sharding(self.mesh)
+        else:
+            self.mesh = make_mesh()
+            b_sharding = None
         self.batch = int(ecfg.batch_size)
-        self.per_step = self.batch * self.mesh.devices.size
+        self.per_step = self.batch * int(self.mesh.shape["data"])
         self.params = replicate(params, self.mesh)
-        self._shard = lambda b: shard_batch(b, self.mesh)
+        self._shard = lambda b: shard_batch(b, self.mesh,
+                                            sharding=b_sharding)
         self.latent = SDELatentDataset(self.sde, config)
         eps = float(ecfg.eval_eps)
 

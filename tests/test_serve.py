@@ -221,3 +221,44 @@ def test_serve_rejects_host_loop_sampler(tmp_path):
     ]).dataset.diffusion
     with pytest.raises(ValueError, match="on-device sampler"):
         SamplerService(cfg)
+
+
+def test_serve_spatial_sharded(tmp_path):
+    """evaluation.spatial=4 serves from a (data=2, spatial=4) mesh: the
+    dispatch width multiplies over `data` only and requests still write
+    the right number of PNGs."""
+    from psld_tpu.config import compose
+    from psld_tpu.serve.server import SamplerService
+    from psld_tpu.train import checkpoint as ckpt
+    from psld_tpu.train.loop import build_score_model, init_score_params
+    from psld_tpu.train.state import init_state, make_optimizer
+
+    cfg = compose([
+        "+dataset=cifar10/cifar10_psld",
+        f"dataset.diffusion.data.root={tmp_path}",
+        "dataset.diffusion.data.name=synthetic",
+        "dataset.diffusion.data.image_size=16",
+        "dataset.diffusion.model.score_fn.nf=8",
+        "dataset.diffusion.model.score_fn.ch_mult=[1,2]",
+        "dataset.diffusion.model.score_fn.num_res_blocks=1",
+        "dataset.diffusion.model.score_fn.attn_resolutions=[8]",
+        "dataset.diffusion.evaluation.batch_size=1",
+        "dataset.diffusion.evaluation.n_discrete_steps=4",
+        "dataset.diffusion.evaluation.sample_from=target",
+        "+dataset.diffusion.evaluation.spatial=4",
+        f"dataset.diffusion.evaluation.chkpt_path={tmp_path}/ckpt",
+    ]).dataset.diffusion
+
+    net = build_score_model(cfg)
+    state = init_state(init_score_params(net, cfg, 0),
+                       make_optimizer(cfg.training.optimizer))
+    ckpt.save_checkpoint(str(tmp_path), "ckpt", state)
+
+    svc = SamplerService(cfg)
+    assert dict(svc.mesh.shape) == {"data": 2, "spatial": 4}
+    assert svc.per_step == 2  # batch_size * data shards, NOT * 8 devices
+    svc.warmup()
+    r = svc.sample_to_dir(3, seed=3, out_dir=str(tmp_path / "out"))
+    assert r["written"] == 3
+    pngs = glob.glob(str(tmp_path / "out" / "**" / "*.png"), recursive=True)
+    assert len(pngs) == 3
