@@ -210,3 +210,34 @@ def test_train_loop_spatial_indivisible_raises(tmp_path):
     ]).dataset.diffusion
     with pytest.raises(ValueError, match="not divisible"):
         train_sde(cfg, max_steps=1)
+
+
+def test_shared_jit_cache_distinguishes_width_and_spatial(spatial_trained):
+    """Regression: per_step and the batch sharding are baked into the
+    cached sampler closure, so a jit_cache shared across calls differing
+    in batch_size or evaluation.spatial must MISS, not reuse the wrong
+    program (the old key matched on sampler/NFE alone and silently ran
+    the previous call's width)."""
+    import glob
+
+    from psld_tpu.config import compose
+    from psld_tpu.eval.generate import sample
+
+    workdir, argv, ckpt = spatial_trained
+    cache = {}
+    for tag, extra, want in (
+            ("a", ["dataset.diffusion.evaluation.batch_size=2"], 4),
+            ("b", ["dataset.diffusion.evaluation.batch_size=1"], 4),
+            ("c", ["dataset.diffusion.evaluation.batch_size=1",
+                   "+dataset.diffusion.evaluation.spatial=4"], 4),
+    ):
+        save = str(workdir / f"jc_{tag}")
+        cfg = compose(argv + [
+            f"dataset.diffusion.evaluation.chkpt_path={ckpt}",
+            f"dataset.diffusion.evaluation.save_path={save}",
+            "dataset.diffusion.evaluation.n_samples=4",
+            "dataset.diffusion.evaluation.n_discrete_steps=5",
+        ] + extra).dataset.diffusion
+        assert sample(cfg, jit_cache=cache) == want
+        assert len(glob.glob(f"{save}/images/*.png")) == want
+    assert len(cache) == 3  # three distinct programs, no false sharing
