@@ -29,7 +29,15 @@ def enable_x64() -> None:
     per-batch time vector only) needs float64 near t -> 0; all entry points
     call this before touching jax. Library code adapts to either mode via
     :func:`psld_tpu.utils.numerics.time_dtype`.
+
+    Every entry point runs through here, so it also applies the host
+    allocator tuning for slow-page-fault hosts (utils/hostmem.py;
+    PSLD_NO_MALLOC_TUNE=1 to skip).
     """
+    from psld_tpu.utils.hostmem import tune_host_allocator
+
+    tune_host_allocator()
+
     import jax
 
     jax.config.update("jax_enable_x64", True)

@@ -9,7 +9,7 @@ import sys
 def bootstrap(argv=None):
     import psld_tpu
 
-    psld_tpu.enable_x64()
+    psld_tpu.enable_x64()  # also tunes the host allocator (utils/hostmem)
     psld_tpu.setup_cache()
     psld_tpu.import_modules_into_registry()
     # join the multi-process runtime before anything touches the backend

@@ -133,8 +133,36 @@ class _ImageFolder:
             return img, int(self.targets[idx])
         return img
 
+    def _batch_native(self, paths):
+        """Decode a uniform already-at-size RGB PNG batch through the
+        multithreaded C++ decoder (native/pngio.cpp) — the preprocessed
+        CelebA/AFHQ layouts. Returns None when the directory needs the
+        PIL path (non-PNG, resize, gray/RGBA/16-bit); the first failure
+        latches the fallback so the probe costs nothing per batch."""
+        if getattr(self, "_native_ok", True) is False:
+            return None
+        if not all(p.lower().endswith(".png") for p in paths):
+            self._native_ok = False
+            return None
+        try:
+            from psld_tpu import native
+
+            h, w, c = native.read_png_info(paths[0])
+            if (h, w, c) != (self.image_size, self.image_size, 3):
+                self._native_ok = False
+                return None
+            raw = native.read_png_batch(list(paths), h, w, 3)
+            self._native_ok = True
+            return data_scaler(raw, norm=self.norm)
+        except Exception:
+            self._native_ok = False
+            return None
+
     def batch(self, idxs):
-        imgs = np.stack([self._load(self.paths[i]) for i in idxs])
+        paths = [self.paths[i] for i in idxs]
+        imgs = self._batch_native(paths)
+        if imgs is None:
+            imgs = np.stack([self._load(p) for p in paths])
         if self.return_target:
             return imgs, self.targets[idxs].astype(np.int32)
         return imgs

@@ -12,6 +12,10 @@ os.environ["XLA_FLAGS"] = (
     os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
 )
 
+from psld_tpu.utils.hostmem import tune_host_allocator  # noqa: E402
+
+tune_host_allocator()  # slow-page-fault hosts: reuse faulted heap pages
+
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")

@@ -126,3 +126,33 @@ def test_inpaint_square_fallback(tmp_path):
     _, mask = ds[0]
     assert mask[8, 8, 0] == 0.0 and mask[0, 0, 0] == 1.0
     assert len(ds) == 4
+
+
+def test_folder_batch_native_fast_path_matches_pil(tmp_path):
+    """Uniform at-size RGB PNG dirs decode through the C++ batch decoder;
+    the result must be bitwise the PIL path's (same scaler, no resize)."""
+    import numpy as np
+
+    _write_pngs(str(tmp_path), 6, 64)
+    ds = get_module("datasets", "celeba64")(root=str(tmp_path),
+                                            image_size=64)
+    idxs = np.asarray([0, 3, 5])
+    fast = ds.batch(idxs)
+    assert getattr(ds, "_native_ok", None) is True
+    ds2 = get_module("datasets", "celeba64")(root=str(tmp_path),
+                                             image_size=64)
+    ds2._native_ok = False  # force the PIL path
+    slow = ds2.batch(idxs)
+    np.testing.assert_array_equal(fast, slow)
+
+
+def test_folder_batch_native_falls_back_on_resize(tmp_path):
+    """Stored-larger dirs need the bilinear resize -> PIL path, latched."""
+    import numpy as np
+
+    _write_pngs(str(tmp_path), 3, 128)
+    ds = get_module("datasets", "celeba64")(root=str(tmp_path),
+                                            image_size=64)
+    out = ds.batch(np.asarray([0, 1]))
+    assert out.shape == (2, 64, 64, 3)
+    assert ds._native_ok is False

@@ -91,3 +91,11 @@ def test_expm1_div_x_small_and_large():
     got = np.asarray(expm1_div_x(xs), np.float64)
     want = np.expm1(np.asarray(xs, np.float64)) / np.asarray(xs, np.float64)
     np.testing.assert_allclose(got, want, rtol=1e-5)
+
+
+def test_tune_host_allocator_applies_and_respects_optout(monkeypatch):
+    from psld_tpu.utils.hostmem import tune_host_allocator
+
+    assert tune_host_allocator() is True  # glibc linux: mallopt succeeds
+    monkeypatch.setenv("PSLD_NO_MALLOC_TUNE", "1")
+    assert tune_host_allocator() is False
