@@ -43,30 +43,29 @@ def test_consume_stream_order_and_threading():
 
 def test_consume_stream_overlaps():
     """Producer must run ahead of the consumer (that's the whole point of
-    the bounded queue). Asserted by event ordering, not wall-clock — a
-    loaded CI host must not flake this."""
-    events = []
-    lock = threading.Lock()
-
-    def mark(tag, i):
-        with lock:
-            events.append((tag, i))
+    the bounded queue). Asserted structurally, not by timing: consuming
+    item 0 BLOCKS until item 2 has been produced — possible only if
+    production is decoupled from consumption (depth=2 queue holds items
+    1-2 while 0 is in flight); a serial implementation would deadlock,
+    caught by the event timeout."""
+    produced_2 = threading.Event()
 
     def produce():
         for i in range(4):
-            time.sleep(0.002)  # fast "device"
-            mark("p", i)
+            if i == 2:
+                produced_2.set()
             yield i
 
+    got = []
+
     def consume(i):
-        mark("c_start", i)
-        time.sleep(0.05)  # slow "host"
-        mark("c_end", i)
+        if i == 0:
+            assert produced_2.wait(timeout=30), \
+                "producer never ran ahead of the consumer"
+        got.append(i)
 
     consume_stream(produce(), consume, depth=2)
-    # overlap: with a fast producer and depth-2 queue, items 1 and 2 are
-    # produced while item 0 is still being consumed (25x timing margin)
-    assert events.index(("p", 2)) < events.index(("c_end", 0)), events
+    assert got == [0, 1, 2, 3]
 
 
 def test_consume_stream_propagates_consumer_error_no_deadlock():
@@ -90,32 +89,27 @@ def test_consume_stream_propagates_producer_error():
 
 
 def test_prefetch_iter_order_and_overlap():
-    """Order is preserved and the producer runs ahead: with a slow
-    consumer and depth 2, items 1-2 are produced before item 0 finishes
-    consuming (event-order assertion, load-immune)."""
+    """Order is preserved and the producer runs ahead: while the consumer
+    holds item 0, it WAITS for item 2's production — only a decoupled
+    producer (depth-2 queue) can satisfy that; serial iteration would
+    deadlock, caught by the event timeout."""
     from psld_tpu.utils.pipeline import prefetch_iter
 
-    events = []
-    lock = threading.Lock()
-
-    def mark(tag, i):
-        with lock:
-            events.append((tag, i))
+    produced_2 = threading.Event()
 
     def produce():
         for i in range(4):
-            time.sleep(0.002)
-            mark("p", i)
+            if i == 2:
+                produced_2.set()
             yield i
 
     got = []
     for i in prefetch_iter(produce(), depth=2):
-        mark("c_start", i)
-        time.sleep(0.05)
+        if i == 0:
+            assert produced_2.wait(timeout=30), \
+                "prefetch thread never ran ahead of the consumer"
         got.append(i)
-        mark("c_end", i)
     assert got == [0, 1, 2, 3]
-    assert events.index(("p", 2)) < events.index(("c_end", 0)), events
 
 
 def test_prefetch_iter_propagates_producer_error():
