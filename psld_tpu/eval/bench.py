@@ -31,6 +31,35 @@ def run_bench(batch: int | None = None, nfe: int | None = None) -> dict:
     psld_tpu.setup_cache()
     psld_tpu.import_modules_into_registry()
 
+    # Dead-backend watchdog: a wedged tunnel (stale client lock, relay
+    # outage) hangs EVERY device op forever -- fail fast with a parseable
+    # JSON error line instead. A healthy tunnel answers a tiny op well
+    # inside the budget (init <60 s measured); PSLD_BENCH_PROBE_S=0
+    # disables.
+    probe_s = float(os.environ.get("PSLD_BENCH_PROBE_S", 600))
+    if probe_s > 0:
+        import threading
+
+        done = threading.Event()
+
+        def _probe():
+            import jax as _jax
+            import jax.numpy as _jnp
+
+            float(_jnp.sum(_jnp.ones((8, 8))))
+            done.set()
+
+        threading.Thread(target=_probe, daemon=True).start()
+        if not done.wait(probe_s):
+            print(json.dumps({
+                "metric": "CIFAR-10 img/sec/chip at 1000-NFE EM sampling",
+                "value": 0.0, "unit": "img/s/chip", "vs_baseline": 0.0,
+                "error": ("accelerator backend unreachable: a trivial "
+                          f"device op did not complete in {probe_s:.0f}s "
+                          "(wedged tunnel?)"),
+            }), flush=True)
+            os._exit(2)
+
     import jax
     import jax.numpy as jnp
     import numpy as np
