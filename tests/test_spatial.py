@@ -241,3 +241,28 @@ def test_shared_jit_cache_distinguishes_width_and_spatial(spatial_trained):
         assert sample(cfg, jit_cache=cache) == want
         assert len(glob.glob(f"{save}/images/*.png")) == want
     assert len(cache) == 3  # three distinct programs, no false sharing
+
+
+def test_inpaint_with_spatial_sharding(spatial_trained):
+    """evaluation.spatial also covers the inpainting path: the (image,
+    mask) TUPLE batch shards over (data, spatial) and the run writes the
+    full images/batch/corrupt layout."""
+    import glob
+
+    from psld_tpu.config import compose
+    from psld_tpu.eval.generate import inpaint
+
+    workdir, argv, ckpt = spatial_trained
+    save = str(workdir / "inpaint_sp")
+    cfg = compose(argv + [
+        f"dataset.diffusion.evaluation.chkpt_path={ckpt}",
+        f"dataset.diffusion.evaluation.save_path={save}",
+        "dataset.diffusion.evaluation.sampler.name=ip_em_sde",
+        "dataset.diffusion.evaluation.n_samples=2",
+        "dataset.diffusion.evaluation.batch_size=1",
+        "dataset.diffusion.evaluation.n_discrete_steps=5",
+        "+dataset.diffusion.evaluation.spatial=4",
+    ]).dataset.diffusion
+    assert inpaint(cfg) == 2
+    for sub in ("images", "batch", "corrupt"):
+        assert len(glob.glob(f"{save}/{sub}/*.png")) == 2, sub
