@@ -137,21 +137,27 @@ class _ImageFolder:
         """Decode a uniform already-at-size RGB PNG batch through the
         multithreaded C++ decoder (native/pngio.cpp) — the preprocessed
         CelebA/AFHQ layouts. Returns None when the directory needs the
-        PIL path (non-PNG, resize, gray/RGBA/16-bit); the first failure
-        latches the fallback so the probe costs nothing per batch."""
-        if getattr(self, "_native_ok", True) is False:
-            return None
-        if not all(p.lower().endswith(".png") for p in paths):
-            self._native_ok = False
+        PIL path (non-PNG, resize, gray/RGBA/16-bit). The first outcome
+        latches BOTH ways: failure pins the PIL fallback, success skips
+        the suffix scan + header probe on later batches (the decoder
+        still validates every image's shape per decode — a surprise
+        mismatch raises, falls back, and re-latches failure)."""
+        ok = getattr(self, "_native_ok", None)
+        if ok is False:
             return None
         try:
             from psld_tpu import native
 
-            h, w, c = native.read_png_info(paths[0])
-            if (h, w, c) != (self.image_size, self.image_size, 3):
-                self._native_ok = False
-                return None
-            raw = native.read_png_batch(list(paths), h, w, 3)
+            if ok is None:
+                if not all(p.lower().endswith(".png") for p in paths):
+                    self._native_ok = False
+                    return None
+                shape = native.read_png_info(paths[0])
+                if shape != (self.image_size, self.image_size, 3):
+                    self._native_ok = False
+                    return None
+            raw = native.read_png_batch(list(paths), self.image_size,
+                                        self.image_size, 3)
             self._native_ok = True
             return data_scaler(raw, norm=self.norm)
         except Exception:

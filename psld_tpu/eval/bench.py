@@ -31,6 +31,11 @@ def run_bench(batch: int | None = None, nfe: int | None = None) -> dict:
     psld_tpu.setup_cache()
     psld_tpu.import_modules_into_registry()
 
+    batch = int(os.environ.get("PSLD_BENCH_BATCH", 64)
+                if batch is None else batch)
+    nfe = int(os.environ.get("PSLD_BENCH_NFE", 1000) if nfe is None else nfe)
+    nf = int(os.environ.get("PSLD_BENCH_NF", 128))
+
     # Dead-backend watchdog: a wedged tunnel (stale client lock, relay
     # outage) hangs EVERY device op forever -- fail fast with a parseable
     # JSON error line instead. A healthy tunnel answers a tiny op well
@@ -52,8 +57,8 @@ def run_bench(batch: int | None = None, nfe: int | None = None) -> dict:
         threading.Thread(target=_probe, daemon=True).start()
         if not done.wait(probe_s):
             print(json.dumps({
-                "metric": "CIFAR-10 img/sec/chip at 1000-NFE EM sampling",
-                "value": 0.0, "unit": "img/s/chip", "vs_baseline": 0.0,
+                "metric": f"CIFAR-10 img/sec/chip at {nfe}-NFE EM sampling",
+                "value": 0.0, "unit": "img/s", "vs_baseline": 0.0,
                 "error": ("accelerator backend unreachable: a trivial "
                           f"device op did not complete in {probe_s:.0f}s "
                           "(wedged tunnel?)"),
@@ -68,11 +73,6 @@ def run_bench(batch: int | None = None, nfe: int | None = None) -> dict:
     from psld_tpu.registry import get_module
     from psld_tpu.samplers import make_timesteps
     from psld_tpu.train.loop import build_score_model, build_sde
-
-    batch = int(os.environ.get("PSLD_BENCH_BATCH", 64)
-                if batch is None else batch)
-    nfe = int(os.environ.get("PSLD_BENCH_NFE", 1000) if nfe is None else nfe)
-    nf = int(os.environ.get("PSLD_BENCH_NF", 128))
 
     cfg = compose([
         "+dataset=cifar10/cifar10_psld",

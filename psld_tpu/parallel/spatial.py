@@ -42,7 +42,8 @@ def make_spatial_mesh(spatial: int, devices=None,
     n = len(devices)
     if spatial < 1 or n % spatial:
         raise ValueError(
-            f"training.spatial={spatial} must divide the device count {n}")
+            f"spatial={spatial} must divide the device count {n} "
+            "(training.spatial / evaluation.spatial)")
     arr = np.asarray(devices).reshape(n // spatial, spatial)
     return Mesh(arr, axes)
 

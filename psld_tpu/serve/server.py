@@ -53,6 +53,22 @@ class SamplerService:
             raise ValueError(
                 "serving requires an on-device sampler (em_sde, sscs_sde, sscs2m_sde, "
                 "rk_ode, adaptive_ode); bb_ode runs a SciPy host loop")
+        # validate the spatial layout BEFORE loading a 100M-param
+        # checkpoint (same fail-fast rule as the sampler-name check)
+        sp = int(ecfg.get("spatial", 1))
+        if sp > 1:
+            import jax as _jax
+
+            from psld_tpu.parallel.spatial import (check_divisible,
+                                                   make_spatial_mesh)
+
+            if _jax.process_count() > 1:
+                raise NotImplementedError(
+                    "evaluation.spatial under a multi-controller runtime "
+                    "is not supported in serving: spatial groups must stay "
+                    "within one process (same restriction as generate)")
+            mesh_probe = make_spatial_mesh(sp)
+            check_divisible(int(config.data.image_size), mesh_probe)
         self.sde = build_sde(config)
         net, params = load_eval_state(config)
 
@@ -62,15 +78,13 @@ class SamplerService:
         ts = make_timesteps(n_eff, float(ecfg.eval_eps), self.sde.T,
                             str(ecfg.stride_type))
         # evaluation.spatial=S: height-sharded serving (one high-res sample
-        # spans S devices; parallel/spatial.py -- same flag as generate)
-        sp = int(ecfg.get("spatial", 1))
+        # spans S devices; parallel/spatial.py -- same flag as generate;
+        # layout validated above, before the checkpoint load)
         if sp > 1:
-            from psld_tpu.parallel.spatial import (check_divisible,
-                                                   make_spatial_mesh,
+            from psld_tpu.parallel.spatial import (make_spatial_mesh,
                                                    spatial_batch_sharding)
 
             self.mesh = make_spatial_mesh(sp)
-            check_divisible(int(config.data.image_size), self.mesh)
             b_sharding = spatial_batch_sharding(self.mesh)
         else:
             self.mesh = make_mesh()
