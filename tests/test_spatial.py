@@ -266,3 +266,49 @@ def test_inpaint_with_spatial_sharding(spatial_trained):
     assert inpaint(cfg) == 2
     for sub in ("images", "batch", "corrupt"):
         assert len(glob.glob(f"{save}/{sub}/*.png")) == 2, sub
+
+
+def test_celebahq256_extension_config_composes_and_trains(tmp_path):
+    """The CelebA-HQ-256 extension config (no reference counterpart; the
+    paper's high-res experiment) composes, and its scaling-knob stack
+    (remat + fsdp + spatial + grad_accum) trains a step at smoke scale
+    through the real loop on the virtual mesh."""
+    import glob
+
+    from psld_tpu.config import compose
+    from psld_tpu.train.loop import train_sde
+
+    # synthetic stand-in at 32x32 with the SAME knob stack; the full-res
+    # defaults are exercised at compose time (structure + key tree)
+    full = compose([
+        "+dataset=celebahq/celebahq256_psld",
+        "dataset.diffusion.data.root=/tmp",
+        "dataset.diffusion.training.results_dir=/tmp/r",
+    ]).dataset.diffusion
+    assert int(full.data.image_size) == 256
+    assert list(full.model.score_fn.ch_mult) == [1, 1, 2, 2, 2, 2, 2]
+    assert str(full.model.sde.name) == "psld"
+
+    results = str(tmp_path / "results")
+    cfg = compose([
+        "+dataset=celebahq/celebahq256_psld",
+        "dataset.diffusion.data.name=synthetic",
+        f"dataset.diffusion.data.root={tmp_path}",
+        "dataset.diffusion.data.image_size=32",
+        "dataset.diffusion.model.score_fn.nf=8",
+        "dataset.diffusion.model.score_fn.ch_mult=[1,2]",
+        "dataset.diffusion.model.score_fn.num_res_blocks=1",
+        "dataset.diffusion.model.score_fn.attn_resolutions=[16]",
+        "dataset.diffusion.training.batch_size=2",
+        "dataset.diffusion.training.epochs=1",
+        "dataset.diffusion.training.chkpt_interval=1",
+        f"dataset.diffusion.training.results_dir={results}",
+        "+dataset.diffusion.training.remat=true",
+        "+dataset.diffusion.training.fsdp=true",
+        "+dataset.diffusion.training.spatial=2",
+        "+dataset.diffusion.training.grad_accum=2",
+    ]).dataset.diffusion
+    state = train_sde(cfg, max_steps=2)
+    assert int(state.step) == 2
+    assert [c for c in glob.glob(f"{results}/checkpoints/*epoch*")
+            if not c.endswith(".meta.json")]
