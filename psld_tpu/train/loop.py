@@ -113,13 +113,19 @@ def _train_sde(config, stop, max_steps: int | None = None):
                                                make_spatial_mesh)
 
         if jax.process_count() > 1:
-            # the loader feeds each process full-height batch slices; a
-            # spatial group spanning processes would need height-sliced
-            # per-process data assembly (same restriction as
-            # evaluation.spatial under lockstep, eval/generate.py)
-            raise NotImplementedError(
-                "training.spatial under a multi-controller runtime is not "
-                "supported: spatial groups must stay within one process")
+            # multi-controller: the loader feeds each process full-height
+            # batch ROWS, so a spatial group must stay within one process
+            # (consecutive-device mesh order guarantees it when the local
+            # device count divides by the spatial factor) -- then each
+            # process's local slice covers exactly its addressable shards
+            # and make_array_from_process_local_data splits the height
+            # across its own devices
+            local = jax.local_device_count()
+            if spatial > local or local % spatial:
+                raise NotImplementedError(
+                    f"training.spatial={spatial} must divide the LOCAL "
+                    f"device count {local} under a multi-controller "
+                    "runtime: spatial groups cannot span processes")
         mesh = make_spatial_mesh(spatial)
         check_divisible(int(config.data.image_size), mesh)
     else:
