@@ -93,16 +93,24 @@ def _rank_info(config):
 
 def _fetch_local(out, take):
     """This process's rows of a (possibly non-fully-addressable) global
-    batch, clipped to the global tail ``take``, in global row order."""
-    shards = sorted(out.addressable_shards,
-                    key=lambda s: s.index[0].start or 0)
+    batch, clipped to the global tail ``take``, in global row order.
+
+    Under spatial sharding a row is split into height segments across the
+    process's devices; segments are stitched back (grouped by batch
+    offset, ordered by height offset, deduped against replicas)."""
+    segs: dict = {}
+    for s in out.addressable_shards:
+        b0 = s.index[0].start or 0
+        h0 = (s.index[1].start or 0) if len(s.index) > 1 else 0
+        segs.setdefault(b0, {})[h0] = s.data
     parts = []
-    for s in shards:
-        start = s.index[0].start or 0
-        data = np.asarray(s.data)
-        n = min(take - start, data.shape[0])
+    for b0 in sorted(segs):
+        blocks = [np.asarray(segs[b0][h0]) for h0 in sorted(segs[b0])]
+        block = blocks[0] if len(blocks) == 1 else np.concatenate(blocks,
+                                                                  axis=1)
+        n = min(take - b0, block.shape[0])
         if n > 0:
-            parts.append(data[:n])
+            parts.append(block[:n])
     if not parts:
         return np.zeros((0,) + out.shape[1:], out.dtype)
     return np.concatenate(parts)
@@ -174,10 +182,15 @@ def _run_sampler(config, sde, sampler_factory, params, writer, batch_source,
         b_sharding = batch_sharding(mesh)
     rank, nproc, lockstep = _rank_info(config)
     if lockstep and sp > 1:
-        raise NotImplementedError(
-            "evaluation.spatial under a multi-controller runtime: per-rank "
-            "shard writing assumes batch-only sharding; launch per-rank "
-            "jobs (evaluation.rank=R) instead")
+        # lockstep works when each spatial group stays inside one process:
+        # a process then holds FULL rows (as height segments _fetch_local
+        # stitches) and still writes only its own samples
+        local = jax.local_device_count()
+        if sp > local or local % sp:
+            raise NotImplementedError(
+                f"evaluation.spatial={sp} must divide the LOCAL device "
+                f"count {local} under a multi-controller runtime: spatial "
+                "groups cannot span processes")
     n_samples = -(-int(ecfg.n_samples) // nproc)  # this rank's share
     seed = int(ecfg.seed)
     key = jax.random.PRNGKey(seed)
@@ -192,8 +205,8 @@ def _run_sampler(config, sde, sampler_factory, params, writer, batch_source,
     if lockstep and (latent is None or is_host_loop):
         raise NotImplementedError(
             "under a multi-controller jax runtime only prior-seeded "
-            "on-device samplers run lockstep (em_sde/sscs_sde/sscs2m_sde/rk_ode/"
-            "adaptive_ode); for inpainting or bb_ode launch one "
+            "on-device samplers run lockstep (em_sde/sscs_sde/sscs2m_sde/"
+            "rk_ode/adaptive_ode); for inpainting or bb_ode launch one "
             "single-process job per rank with evaluation.rank=R "
             "evaluation.num_processes=N")
     if is_host_loop:
