@@ -206,8 +206,8 @@ def _run_sampler(config, sde, sampler_factory, params, writer, batch_source,
         raise NotImplementedError(
             "under a multi-controller jax runtime only prior-seeded "
             "on-device samplers run lockstep (em_sde/sscs_sde/sscs2m_sde/"
-            "rk_ode/adaptive_ode); for inpainting or bb_ode launch one "
-            "single-process job per rank with evaluation.rank=R "
+            "rk_ode/adaptive_ode/ei_ode); for inpainting or bb_ode launch "
+            "one single-process job per rank with evaluation.rank=R "
             "evaluation.num_processes=N")
     if is_host_loop:
         sampler = sampler_factory(params)
@@ -217,6 +217,7 @@ def _run_sampler(config, sde, sampler_factory, params, writer, batch_source,
         cache_key = (sampler_name, n_eff, denoise, eps, latent is not None,
                      per_step, sp,
                      str(ecfg.sampler.get("solver", "")),
+                     int(ecfg.sampler.get("order", 2)),
                      str(ecfg.sampler.get("corrector", "none")),
                      int(ecfg.sampler.get("corrector_steps", 1)),
                      float(ecfg.sampler.get("corrector_snr", 0.16)))

@@ -15,6 +15,10 @@ Two implementations with the reference's single ``bb_ode``'s capability
   5(4) pair and step-size controller as SciPy's ``RK45``) compiled into a
   single ``lax.while_loop``: the reference's adaptive capability with zero
   host sync per step. NFE is carried on device and reported per batch.
+* ``ei_ode`` -- exponential-integrator solver exploiting the SDE's linear
+  structure (DPM-Solver generalized to the PSLD 2x2 phase-space system):
+  exact linear transport + quadrature-exact eps coefficients, second-order
+  multistep at 1 NFE/step. The low-NFE deterministic operating point.
 """
 
 from __future__ import annotations
@@ -25,6 +29,7 @@ import numpy as np
 
 from psld_tpu.registry import register_module
 from psld_tpu.samplers.base import Sampler
+from psld_tpu.sde.psld import join_xm, split_xm
 from psld_tpu.utils.numerics import time_dtype
 
 
@@ -263,6 +268,192 @@ class AdaptiveODESampler(Sampler):
             self.nfe += int(nfe)
             self._counter += 1
         return y
+
+
+def _gl_panel_grid(n_panels: int, n_nodes: int, refine: float = 0.25):
+    """Gauss--Legendre nodes/weights on [0, 1], composited over ``n_panels``
+    geometrically refined toward 1 (the small-``t_phys`` edge of a sampler
+    interval, where the epsilon-coefficient ``L^{-T}`` has an integrable
+    ~1/sqrt(s) growth that plain GL resolves poorly when the singular edge
+    sits inside a single wide panel). Returns ([Q], [Q]) numpy arrays."""
+    edges = 1.0 - refine ** np.arange(n_panels + 1)
+    edges[0], edges[-1] = 0.0, 1.0
+    xs, ws = np.polynomial.legendre.leggauss(n_nodes)
+    xs, ws = (xs + 1.0) / 2.0, ws / 2.0
+    lo, hi = edges[:-1, None], edges[1:, None]
+    nodes = (lo + (hi - lo) * xs[None, :]).ravel()
+    weights = ((hi - lo) * ws[None, :]).ravel()
+    return nodes, weights
+
+
+def _mat2(a, b):
+    """Product of two 2x2 matrices given as 4-tuples (row-major)."""
+    a11, a12, a21, a22 = a
+    b11, b12, b21, b22 = b
+    return (a11 * b11 + a12 * b21, a11 * b12 + a12 * b22,
+            a21 * b11 + a22 * b21, a21 * b12 + a22 * b22)
+
+
+@register_module(category="samplers", name="ei_ode")
+class EIODESampler(Sampler):
+    """Exponential-integrator probability-flow ODE sampler (TPU-native
+    extension; no reference counterpart -- the reference's only deterministic
+    sampler is the host-bound black-box RK45, main/samplers/ode.py:8-76).
+
+    The PSLD probability-flow ODE is *linear plus an eps-prediction term*::
+
+        du/dtau = -(beta/2) A u - (beta/2) G^2 L^{-T}(t) eps_hat(u, t)
+
+    (t = T - tau; A, G from psld.py:330-343; score = -L^{-T} eps_hat). The
+    sampler integrates the linear part EXACTLY with the same closed-form
+    matrix exponential the perturbation kernel uses
+    (:meth:`psld_tpu.sde.psld.PSLD._exp_half_As`) and treats only the
+    network output as slowly varying -- the DPM-Solver construction
+    generalized to the 2x2 phase-space system (for VPSDE it reduces to
+    DPM-Solver's eps-form). Per interval ``[tau_k, tau_{k+1}]``::
+
+        u_{k+1} = E_k u_k - Psi0_k eps_k - Psi1_k (eps_k - eps_{k-1})/dtau_{k-1}
+
+    with ``E_k = exp(-A s_k / 2)`` and the 2x2 matrices ``Psi0/Psi1 =
+    int exp(-A s_rem(tau')/2) W(tau') (tau'-tau_k)^{0,1} dtau'`` evaluated by
+    panel-composited Gauss--Legendre quadrature on SCALARS -- the whole
+    coefficient table for the grid is computed once outside the scan, so the
+    compiled scan body is one network forward plus a handful of scalar*tensor
+    FMAs. NFE = n_steps (+1 denoise), like Euler, with multistep second-order
+    accuracy (``order=2`` default; ``order=1`` holds eps constant per step).
+
+    Exactness of the linear transport is what distinguishes this from
+    ``rk_ode``: stiffness from the OU part (large nu) costs nothing, and the
+    eps parameterization stays O(1) where the score blows up at t -> 0.
+
+    Measured operating envelope (exact-score Gaussian transport, terminal
+    error vs a tight adaptive reference, tests/test_samplers.py): order 2
+    beats Euler ~11x at NFE=20, ~12x at 50, ~17x at 100 (and Heun at
+    matched NFE by more). Below ~NFE 15 every fixed-grid PF integrator
+    diverges on the SOTA CIFAR-10 operating point -- the reverse-time
+    linear flow is expansive (e^{lam s} per step with s = int beta), and
+    the multistep extrapolation amplifies first -- so ei_ode's documented
+    regime is NFE >= 20, the same caveat class as SSCS-2M.
+    """
+
+    def __init__(self, config, sde, score_fn, corrector_fn=None):
+        super().__init__(config, sde, score_fn, corrector_fn=corrector_fn)
+        scfg = config.evaluation.sampler
+        self.order = int(scfg.get("order", 2))
+        assert self.order in (1, 2), self.order
+        self.quad_panels = int(scfg.get("quad_panels", 6))
+        self.quad_nodes = int(scfg.get("quad_nodes", 16))
+
+    # -- coefficient tables (scalar, precomputed per grid) -------------------
+    def _w_entries(self, t_phys):
+        """W(t) = (beta/2) G^2 L^{-T}(t) as 4 per-element scalars. In the
+        reduced-score modes G^2's zero row and L^{-T}'s triangular zero
+        annihilate exactly the entries that would read the zero-filled half
+        of eps (matching get_score's convention, psld.py:230-260)."""
+        sde = self.sde
+        var = sde._cov(0.0, sde.mm_0, t_phys)
+        c11, c12, c21, c22 = sde.get_inv_coeff(var)
+        hb = 0.5 * sde.beta_t(t_phys)
+        gx, gm = sde.gamma, sde.m * sde.nu
+        return hb * gx * c11, hb * gx * c12, hb * gm * c21, hb * gm * c22
+
+    def _tables(self, ts):
+        """(E[n,4], Psi0[n,4], Psi1[n,4]) in the time dtype. For VPSDE the
+        system is 1x1; the unused entries are zero."""
+        sde = self.sde
+        ta, tb = ts[:-1], ts[1:]
+        dtau = tb - ta
+        rel_x, rel_w = _gl_panel_grid(self.quad_panels, self.quad_nodes)
+        rel_x = jnp.asarray(rel_x, ts.dtype)
+        rel_w = jnp.asarray(rel_w, ts.dtype)
+        taus = ta[:, None] + dtau[:, None] * rel_x[None, :]   # [n, Q]
+        wq = dtau[:, None] * rel_w[None, :]
+        t_phys = sde.T - taus
+        if self.sde.is_augmented:
+            s_rem = sde.b_t(t_phys) - sde.b_t(sde.T - tb)[:, None]
+            e_rem = sde._exp_half_As(-s_rem)
+            integrand = _mat2(e_rem, self._w_entries(t_phys))
+            s_full = sde.b_t(sde.T - ta) - sde.b_t(sde.T - tb)
+            e_full = sde._exp_half_As(-s_full)
+        else:
+            s_rem = _vpsde_b(sde, t_phys) - _vpsde_b(sde, sde.T - tb)[:, None]
+            e = jnp.exp(0.5 * s_rem)
+            w = 0.5 * sde.beta_t(t_phys) / sde._std(t_phys)
+            z = jnp.zeros_like(e)
+            integrand = (e * w, z, z, z)
+            s_full = _vpsde_b(sde, sde.T - ta) - _vpsde_b(sde, sde.T - tb)
+            ef = jnp.exp(0.5 * s_full)
+            zf = jnp.zeros_like(ef)
+            e_full = (ef, zf, zf, zf)
+
+        def quad(extra):
+            return jnp.stack(
+                [jnp.sum(wq * extra * m, axis=1) for m in integrand], axis=-1)
+
+        psi0 = quad(jnp.ones_like(wq))
+        psi1 = quad(taus - ta[:, None])
+        return jnp.stack(e_full, axis=-1), psi0, psi1
+
+    # -- state application ----------------------------------------------------
+    def _apply(self, coefs4, z):
+        """Apply a 2x2 scalar matrix (4-vector, row-major) to the phase-space
+        halves of ``z`` (or the scalar [0] entry for non-augmented SDEs)."""
+        c = [coefs4[i].astype(z.dtype) for i in range(4)]
+        if not self.sde.is_augmented:
+            return c[0] * z
+        x, m = split_xm(z)
+        return join_xm(c[0] * x + c[1] * m, c[2] * x + c[3] * m)
+
+    def _pad_eps(self, eps_hat):
+        """Zero-fill the unused half in the reduced-output modes, mirroring
+        get_score (psld.py:230-260); the W entries that would read the
+        padding are identically zero (see _w_entries)."""
+        sde = self.sde
+        if not sde.is_augmented:
+            return eps_hat
+        if sde.decomp_mode == "lower" and sde.mode == "score_m":
+            return join_xm(jnp.zeros_like(eps_hat), eps_hat)
+        if sde.decomp_mode == "upper" and sde.mode == "score_x":
+            return join_xm(eps_hat, jnp.zeros_like(eps_hat))
+        return eps_hat
+
+    def sample(self, key, batch, ts, n_discrete_steps, denoise=True,
+               eps=1e-3):
+        del key, n_discrete_steps
+        u = batch
+        sde = self.sde
+        e_tab, psi0, psi1 = self._tables(ts)
+        ta, tb = ts[:-1], ts[1:]
+        n = ta.shape[0]
+        first = (jnp.arange(n) == 0).astype(ts.dtype)
+        carry0 = (u, jnp.zeros(u.shape, u.dtype), jnp.asarray(1.0, ts.dtype))
+
+        def body(carry, inp):
+            u, eps_prev, dt_prev = carry
+            tau, dtau, first_f, e_row, p0_row, p1_row = inp
+            tv = jnp.full((u.shape[0],), sde.T - tau, dtype=tau.dtype)
+            eps_hat = self._pad_eps(self.score_fn(
+                u.astype(jnp.float32), tv.astype(jnp.float32))).astype(u.dtype)
+            u_new = self._apply(e_row, u) - self._apply(p0_row, eps_hat)
+            if self.order == 2:
+                slope = (eps_hat - eps_prev) * (
+                    (1.0 - first_f) / dt_prev).astype(u.dtype)
+                u_new = u_new - self._apply(p1_row, slope)
+            return (u_new, eps_hat, dtau), None
+
+        (u, _, _), _ = jax.lax.scan(
+            body, carry0, (ta, tb - ta, first, e_tab, psi0, psi1))
+        if denoise:
+            tv = jnp.full((u.shape[0],), jnp.asarray(sde.T - eps, ts.dtype))
+            f, _ = sde.reverse_sde(u, tv, self.score_fn,
+                                   probability_flow=True)
+            u = u + f * jnp.asarray(eps, u.dtype)
+        return u
+
+
+def _vpsde_b(sde, t):
+    """int_0^t beta for VPSDE (same linear schedule as PSLD.b_t)."""
+    return sde.beta_0 * t + 0.5 * (t * t) * (sde.beta_1 - sde.beta_0)
 
 
 @register_module(category="samplers", name="rk_ode")

@@ -104,7 +104,7 @@ def main():
     cfg.evaluation.chkpt_path = ckpts[-1]
     recs = run_sweep(
         cfg,
-        samplers=["em_sde", "sscs_sde", "sscs2m_sde"],
+        samplers=["em_sde", "sscs_sde", "sscs2m_sde", "ei_ode"],
         nfes=[5] if smoke else [20, 50, 100, 1000],
         strides=["uniform", "quadratic"],
         out_dir=os.path.join(out_dir, "sweep"),
