@@ -218,6 +218,8 @@ def _run_sampler(config, sde, sampler_factory, params, writer, batch_source,
                      per_step, sp,
                      str(ecfg.sampler.get("solver", "")),
                      int(ecfg.sampler.get("order", 2)),
+                     int(ecfg.sampler.get("quad_panels", 6)),
+                     int(ecfg.sampler.get("quad_nodes", 16)),
                      str(ecfg.sampler.get("corrector", "none")),
                      int(ecfg.sampler.get("corrector_steps", 1)),
                      float(ecfg.sampler.get("corrector_snr", 0.16)))

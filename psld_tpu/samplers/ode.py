@@ -452,8 +452,10 @@ class EIODESampler(Sampler):
 
 
 def _vpsde_b(sde, t):
-    """int_0^t beta for VPSDE (same linear schedule as PSLD.b_t)."""
-    return sde.beta_0 * t + 0.5 * (t * t) * (sde.beta_1 - sde.beta_0)
+    """int_0^t beta for VPSDE, derived from the SDE's own schedule
+    (b(t) = -2*log E[x_t|x_0]/x_0) so a changed/subclassed schedule
+    can't desync the ei_ode transport tables from the SDE."""
+    return -2.0 * sde._log_mean_coeff(t)
 
 
 @register_module(category="samplers", name="rk_ode")

@@ -52,7 +52,8 @@ class SamplerService:
             # fail fast -- before loading a 100M-param checkpoint
             raise ValueError(
                 "serving requires an on-device sampler (em_sde, sscs_sde, sscs2m_sde, "
-                "rk_ode, adaptive_ode); bb_ode runs a SciPy host loop")
+                "rk_ode, adaptive_ode, ei_ode); bb_ode runs a SciPy "
+                "host loop")
         # validate the spatial layout BEFORE loading a 100M-param
         # checkpoint (same fail-fast rule as the sampler-name check)
         sp = int(ecfg.get("spatial", 1))

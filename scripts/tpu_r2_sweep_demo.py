@@ -65,7 +65,10 @@ def main():
         # while the online params sample structure, TV 0.09); EMA sampling
         # needs >>10k settled steps (see .claude/skills/verify).  The sweep
         # compares SAMPLERS, so any fixed learned weights are valid.
-        "dataset.diffusion.evaluation.sample_from=source",
+        # overridable: at >=10k settled steps the EMA (target) is the
+        # better operating point (PSLD_DEMO_SAMPLE_FROM=target)
+        "dataset.diffusion.evaluation.sample_from="
+        + os.environ.get("PSLD_DEMO_SAMPLE_FROM", "source"),
     ]
     smoke = bool(os.environ.get("PSLD_DEMO_SMOKE"))
     if smoke:
@@ -104,7 +107,10 @@ def main():
     cfg.evaluation.chkpt_path = ckpts[-1]
     recs = run_sweep(
         cfg,
-        samplers=["em_sde", "sscs_sde", "sscs2m_sde", "ei_ode"],
+        # smoke runs NFE=5, below ei_ode's documented divergence floor
+        # (fixed-grid PF integration diverges under ~NFE 15) -> drop it
+        samplers=(["em_sde", "sscs_sde", "sscs2m_sde"] if smoke
+                  else ["em_sde", "sscs_sde", "sscs2m_sde", "ei_ode"]),
         nfes=[5] if smoke else [20, 50, 100, 1000],
         strides=["uniform", "quadratic"],
         out_dir=os.path.join(out_dir, "sweep"),
