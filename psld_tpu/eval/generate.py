@@ -456,6 +456,45 @@ def _merged_eval_config(config):
     return merged
 
 
+def edit(config):
+    """SDEdit-style guided editing (TPU-native extension; the reference's
+    only guided-synthesis paths are classifier guidance and inpainting):
+    forward-diffuses guide images from the configured dataset to
+    ``evaluation.sampler.edit_t0`` and reverse-diffuses them back. Uses
+    the same fan-out machinery as inpainting (rank-interleaved dataset
+    shards, full-width dispatches, pipelined writes)."""
+    sde = build_sde(config)
+    net, params = load_eval_state(config)
+    sampler_cls = get_module("samplers", "edit_em_sde")
+
+    def sampler_factory(p):
+        score_fn = make_score_fn(net, p)
+        return sampler_cls(config, sde, score_fn,
+                           corrector_fn=build_corrector(config, sde,
+                                                        score_fn))
+
+    writer = SimpleImageWriter(
+        str(config.evaluation.save_path),
+        sample_prefix=str(config.evaluation.sample_prefix),
+        path_prefix=str(config.evaluation.path_prefix),
+        save_mode=str(config.evaluation.save_mode),
+        is_norm=bool(config.data.norm),
+        is_augmented=bool(config.model.sde.get("is_augmented", True)),
+    )
+    dataset = get_dataset(config)
+
+    def batch_source(key, bs, batch_idx, rank, nproc):
+        start = batch_idx * bs
+        idxs = (np.arange(start, start + bs) * nproc + rank) % len(dataset)
+        imgs = dataset.batch(idxs)
+        if isinstance(imgs, tuple):  # return_target datasets: drop labels
+            imgs = imgs[0]
+        return jnp.asarray(imgs)
+
+    return _run_sampler(config, sde, sampler_factory, params, writer,
+                        batch_source)
+
+
 def inpaint(config):
     """MNIST-mask inpainting (reference eval/inpaint.py:29-104)."""
     sde = build_sde(config)

@@ -227,6 +227,66 @@ class EulerMaruyamaInpainter(Sampler):
         return x
 
 
+@register_module(category="samplers", name="edit_em_sde")
+class EditEulerMaruyamaSampler(EulerMaruyamaSampler):
+    """SDEdit-style guided editing (TPU-native extension; no reference
+    counterpart): forward-diffuse a guide image to an intermediate time
+    ``t0 = evaluation.sampler.edit_t0`` (the edit strength) through the
+    training perturbation kernel, then run the reverse EM loop only over
+    ``[T - t0, T - eps]``. Small ``t0`` preserves the guide's structure
+    (local edits / denoising-style cleanup); ``t0 -> T`` reduces to
+    unconditional generation from the prior marginal. Phase space: the
+    momentum channel is initialized exactly as the loss does (hsm: m_0=0
+    with kernel variance kappa*m; dsm: m_0 ~ N(0, kappa*m), zero kernel
+    variance), so the edit start state sits on the training marginal at
+    t0.
+
+    The caller passes the standard ``[0, T-eps]`` grid; the sampler maps
+    it affinely onto ``[T - t0, T - eps]`` (stride shape preserved), so
+    every fan-out/stride mechanism of the eval pipeline works unchanged.
+    """
+
+    def __init__(self, config, sde, score_fn, corrector_fn=None):
+        super().__init__(config, sde, score_fn, corrector_fn=corrector_fn)
+        self.edit_t0 = float(config.evaluation.sampler.get("edit_t0", 0.5))
+        if not 0.0 < self.edit_t0 <= float(sde.T):
+            raise ValueError(
+                f"evaluation.sampler.edit_t0 must be in (0, T={sde.T}]; "
+                f"got {self.edit_t0}")
+
+    def _init_latent(self, x_0, t0, key):
+        """Forward-diffuse the guide to physical time t0 (the same kernel
+        the losses perturb with, losses/score.py; reference psld.py:262-287)."""
+        sde = self.sde
+        tv = jnp.full((x_0.shape[0],), t0)
+        if not sde.is_augmented:
+            eps = jax.random.normal(key, x_0.shape, x_0.dtype)
+            return sde.perturb_data(x_0, tv, eps)
+        k_m, k_eps = jax.random.split(key)
+        if str(self.config.training.mode) == "hsm":
+            m_0 = jnp.zeros_like(x_0)
+            mm_0 = sde.mm_0
+        else:
+            m_0 = float(np.sqrt(sde.mm_0)) * jax.random.normal(
+                k_m, x_0.shape, x_0.dtype)
+            mm_0 = 0.0
+        eps = jax.random.normal(
+            k_eps, x_0.shape[:-1] + (2 * x_0.shape[-1],), x_0.dtype)
+        z_t, _, _ = sde.perturb_data(x_0, m_0, 0.0, mm_0, tv, eps)
+        return z_t
+
+    def sample(self, key, batch, ts, n_discrete_steps, denoise=True,
+               eps=1e-3):
+        sde = self.sde
+        t0 = jnp.asarray(self.edit_t0, ts.dtype)
+        # affine map of the [0, T-eps] grid onto [T-t0, T-eps]
+        ts_edit = (sde.T - t0) + ts * ((t0 - eps) / (sde.T - eps))
+        key, k_init = jax.random.split(key)
+        x = self._init_latent(batch, t0, k_init)
+        return super().sample(key, x, ts_edit, n_discrete_steps,
+                              denoise=denoise, eps=eps)
+
+
 @register_module(category="samplers", name="sscs_sde")
 class SSCSSampler(Sampler):
     """Symmetric Splitting CLD Sampler for PSLD

@@ -12,7 +12,7 @@ PYPROJECT = "/root/repo/pyproject.toml"
 
 VALUE_RETURNING = {
     "psld-train-sde", "psld-train-clf", "psld-sample",
-    "psld-class-cond-sample", "psld-inpaint", "psld-fid",
+    "psld-class-cond-sample", "psld-inpaint", "psld-edit", "psld-fid",
     "psld-likelihood", "psld-sweep-fid-nfe",
 }
 

@@ -167,6 +167,26 @@ def test_inpaint_pipeline(trained, workdir):
     assert len(glob.glob(f"{save}/corrupt/*.png")) == 4
 
 
+def test_edit_pipeline(trained, workdir):
+    """SDEdit-style editing end-to-end: guides from the configured
+    dataset, edit_em_sde through the shared fan-out machinery."""
+    from psld_tpu.config import compose
+    from psld_tpu.eval.generate import edit
+
+    results, ckpt_path, argv = trained
+    save = str(workdir / "edit")
+    cfg = compose(argv + [
+        f"dataset.diffusion.evaluation.chkpt_path={ckpt_path}",
+        f"dataset.diffusion.evaluation.save_path={save}",
+        "dataset.diffusion.evaluation.sampler.name=edit_em_sde",
+        "+dataset.diffusion.evaluation.sampler.edit_t0=0.4",
+        "dataset.diffusion.evaluation.n_samples=4",
+        "dataset.diffusion.evaluation.batch_size=4",
+    ])
+    assert edit(cfg.dataset.diffusion) == 4
+    assert len(glob.glob(f"{save}/images/*.png")) == 4
+
+
 def test_clf_train_and_guided_sample(trained, workdir):
     """train_clf -> checkpoint -> class_cond_sample (reference
     train_clf.py + eval/class_cond_sample.py end-to-end)."""

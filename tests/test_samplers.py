@@ -473,6 +473,71 @@ def test_inpaint_known_region_preserved():
     assert np.isfinite(out_x).all()
 
 
+def test_edit_em_small_t0_preserves_guide():
+    """SDEdit semantics: a small edit strength forward-diffuses only
+    slightly, so the reverse loop must return images close to the guide
+    (high correlation), while full strength (t0=T) must be essentially
+    uncorrelated with the guide and recover the data marginal."""
+    from psld_tpu.samplers.sde_samplers import EditEulerMaruyamaSampler
+
+    s0 = 0.7
+    guide = s0 * jax.random.normal(jax.random.PRNGKey(7), (256, 4, 4, 1),
+                                   jnp.float32)
+
+    def run(t0, nfe=200):
+        cfg, sde = make_psld(n_steps=nfe, sampler_extra={
+            "name": "edit_em_sde", "edit_t0": t0})
+        sampler = EditEulerMaruyamaSampler(cfg, sde,
+                                           psld_exact_score_fn(sde, s0))
+        ts = make_timesteps(nfe, 1e-3)
+        out = jax.jit(
+            lambda k: sampler.sample(k, guide, ts, nfe))(
+                jax.random.PRNGKey(3))
+        return np.asarray(split_xm(out)[0]).ravel()
+
+    g = np.asarray(guide).ravel()
+    weak = run(0.05)
+    assert np.isfinite(weak).all()
+    corr_weak = np.corrcoef(weak, g)[0, 1]
+    assert corr_weak > 0.9, corr_weak
+
+    strong = run(1.0)
+    corr_strong = np.corrcoef(strong, g)[0, 1]
+    assert abs(corr_strong) < 0.2, corr_strong
+    # full strength still recovers the data marginal
+    np.testing.assert_allclose(strong.std(), s0, rtol=0.1)
+    np.testing.assert_allclose(strong.mean(), 0.0, atol=0.06)
+
+
+def test_edit_em_t0_validation():
+    from psld_tpu.samplers.sde_samplers import EditEulerMaruyamaSampler
+
+    cfg, sde = make_psld(sampler_extra={"name": "edit_em_sde",
+                                        "edit_t0": 1.5})
+    with pytest.raises(ValueError, match="edit_t0"):
+        EditEulerMaruyamaSampler(cfg, sde, psld_exact_score_fn(sde))
+
+
+def test_edit_em_vpsde():
+    """Non-augmented path: the init uses VPSDE's scalar kernel."""
+    from psld_tpu.samplers.sde_samplers import EditEulerMaruyamaSampler
+
+    s0 = 0.7
+    cfg, sde = make_vpsde(n_steps=100, sampler_extra={
+        "name": "edit_em_sde", "edit_t0": 0.05})
+    sampler = EditEulerMaruyamaSampler(cfg, sde,
+                                       vpsde_exact_score_fn(sde, s0))
+    guide = s0 * jax.random.normal(jax.random.PRNGKey(9), (256, 4, 4, 1),
+                                   jnp.float32)
+    ts = make_timesteps(100, 1e-3)
+    out = np.asarray(jax.jit(
+        lambda k: sampler.sample(k, guide, ts, 100))(
+            jax.random.PRNGKey(4))).ravel()
+    assert np.isfinite(out).all()
+    corr = np.corrcoef(out, np.asarray(guide).ravel())[0, 1]
+    assert corr > 0.9, corr
+
+
 def test_quadratic_stride():
     ts = make_timesteps(10, 1e-3, stride_type="quadratic")
     ts = np.asarray(ts)
