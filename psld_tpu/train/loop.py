@@ -138,6 +138,11 @@ def _train_sde(config, stop, max_steps: int | None = None):
     if fsdp:
         from psld_tpu.parallel.fsdp import shard_tree, tree_shardings
 
+        if bool(tcfg.optimizer.get("flatten", False)):
+            raise ValueError(
+                "training.optimizer.flatten collapses the Adam moments "
+                "into one flat vector, which defeats the per-leaf FSDP "
+                "sharding specs -- disable one of the two")
         param_shardings = tree_shardings(params, mesh)
 
     # steps_per_dispatch > 1 runs K train steps per compiled dispatch via

@@ -73,7 +73,23 @@ def make_optimizer(opt_config) -> optax.GradientTransformation:
         eps=float(opt_config.eps),
     )
     components.append(adam)
-    return optax.chain(*components)
+    opt = optax.chain(*components)
+    if bool(opt_config.get("flatten", False)):
+        # optax.flatten runs the (elementwise) Adam update as ONE fused
+        # pass over a single flat buffer instead of one kernel chain per
+        # parameter leaf -- a bandwidth-bound-tail experiment
+        # (PARITY.md: Adam/EMA ~20 ms of the train step). Opt-in because
+        # the optimizer-state layout changes (a flat vector), which is
+        # incompatible with existing checkpoints and with per-leaf FSDP
+        # sharding annotations.
+        opt = optax.flatten(opt)
+        # optax.flatten's init reshapes+concatenates every leaf EAGERLY
+        # (one dispatch per op) -- on remote/tunneled runtimes that is
+        # hundreds of tiny device calls and the axon backend rejects the
+        # op-by-op stream (measured: InvalidArgument on the 97.6M tree).
+        # Compile the whole init into one program instead.
+        opt = optax.GradientTransformation(jax.jit(opt.init), opt.update)
+    return opt
 
 
 def init_state(params, optimizer: optax.GradientTransformation) -> TrainState:

@@ -76,6 +76,62 @@ def test_train_step_descends_and_counts():
     assert np.mean(losses[-5:]) < np.mean(losses[:5]) * 0.9, losses
 
 
+def test_flat_optimizer_matches_default():
+    """training.optimizer.flatten=true (one fused pass over a flat buffer
+    instead of per-leaf Adam kernel chains) must reproduce the default
+    trajectory: Adam is elementwise, so only the global-norm clip's
+    summation order differs (tiny float noise)."""
+    cfg, sde, net, criterion, params = tiny_setup()
+    batch = jax.random.normal(jax.random.PRNGKey(2), (8, 8, 8, 3),
+                              jnp.float32)
+    rng = jax.random.PRNGKey(3)
+
+    def run(flat):
+        cfg.training.optimizer["flatten"] = flat
+        step_fn, optimizer = make_train_step(net, sde, criterion, cfg,
+                                             donate=False)
+        state = init_state(params, optimizer)
+        losses = []
+        for _ in range(10):
+            state, metrics = step_fn(state, batch, rng)
+            losses.append(float(metrics["loss"]))
+        return losses, state
+
+    base_losses, base_state = run(False)
+    flat_losses, flat_state = run(True)
+    np.testing.assert_allclose(flat_losses, base_losses, rtol=1e-5)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a),
+                                                np.asarray(b), atol=1e-6),
+        base_state.params, flat_state.params)
+    cfg.training.optimizer["flatten"] = False
+
+
+def test_flat_optimizer_rejected_under_fsdp(tmp_path):
+    from psld_tpu.config import compose
+    from psld_tpu.train.loop import train_sde
+
+    import pytest
+
+    cfg = compose([
+        "+dataset=cifar10/cifar10_psld",
+        "dataset.diffusion.data.name=synthetic",
+        f"dataset.diffusion.data.root={tmp_path}",
+        "dataset.diffusion.data.image_size=16",
+        "dataset.diffusion.model.score_fn.nf=8",
+        "dataset.diffusion.model.score_fn.ch_mult=[1,2]",
+        "dataset.diffusion.model.score_fn.num_res_blocks=1",
+        "dataset.diffusion.model.score_fn.attn_resolutions=[8]",
+        "dataset.diffusion.training.batch_size=8",
+        "dataset.diffusion.training.epochs=1",
+        f"dataset.diffusion.training.results_dir={tmp_path}/r",
+        "+dataset.diffusion.training.fsdp=true",
+        "+dataset.diffusion.training.optimizer.flatten=true",
+    ]).dataset.diffusion
+    with pytest.raises(ValueError, match="flatten"):
+        train_sde(cfg, max_steps=1)
+
+
 def test_multi_step_dispatch_matches_sequential():
     """K steps in one lax.scan dispatch == K single dispatches: losses
     bitwise-equal (same fold_in(rng, state.step) stream), params equal up
