@@ -18,11 +18,20 @@ def main(argv=None):
     p.add_argument("--input2", required=True)
     p.add_argument("--limit", type=int, default=None,
                    help="cap the number of images read per directory")
+    p.add_argument("--swd", action="store_true",
+                   help="also compute the multi-scale sliced Wasserstein "
+                        "distance (weight-free distributional metric, "
+                        "ProGAN protocol; values x1e3)")
     args = p.parse_args(argv)
 
     from psld_tpu.eval.pixel_stats import compare_dirs
 
-    print(json.dumps(compare_dirs(args.input1, args.input2, args.limit)))
+    out = compare_dirs(args.input1, args.input2, args.limit)
+    if args.swd:
+        from psld_tpu.eval.swd import swd_dirs
+
+        out["swd"] = swd_dirs(args.input1, args.input2, args.limit)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -37,6 +37,9 @@ def main(argv=None):
     parser.add_argument("--weights", default=None,
                         help="pt_inception-2015-12-05 .pth (enables FID)")
     parser.add_argument("--fid-batch", type=int, default=64)
+    parser.add_argument("--swd", action="store_true",
+                        help="add the weight-free multi-scale sliced "
+                             "Wasserstein distance vs --ref-dir")
     args, overrides = parser.parse_known_args(
         sys.argv[1:] if argv is None else list(argv))
 
@@ -56,6 +59,7 @@ def main(argv=None):
         ref_stats=args.ref_stats,
         weights=args.weights,
         fid_batch=args.fid_batch,
+        swd=args.swd,
     )
 
 

@@ -26,7 +26,7 @@ import time
 logger = logging.getLogger(__name__)
 
 
-def _make_quality_fn(ref_dir, ref_stats, weights, batch):
+def _make_quality_fn(ref_dir, ref_stats, weights, batch, swd=False):
     """Builds the per-directory quality metric closure ONCE: the Inception
     net, its jitted feature fn, and the reference-side moments are
     invariant across the sweep (recomputing the data moments per combo
@@ -56,6 +56,10 @@ def _make_quality_fn(ref_dir, ref_stats, weights, batch):
             from psld_tpu.eval.pixel_stats import compare_dirs
 
             out["pixel_stats"] = compare_dirs(gen_dir, ref_dir)
+            if swd:
+                from psld_tpu.eval.swd import swd_dirs
+
+                out["swd"] = swd_dirs(gen_dir, ref_dir)
         if feature_fn is not None:
             from psld_tpu.cli.fid import compute_moments
             from psld_tpu.eval.fid import frechet_distance
@@ -69,7 +73,8 @@ def _make_quality_fn(ref_dir, ref_stats, weights, batch):
 
 
 def run_sweep(config, samplers, nfes, strides, out_dir, ref_dir=None,
-              ref_stats=None, weights=None, fid_batch=64) -> list:
+              ref_stats=None, weights=None, fid_batch=64,
+              swd=False) -> list:
     """Sample `config`'s checkpoint under every combination; returns the
     list of result records (also appended to <out_dir>/sweep.jsonl)."""
     from psld_tpu.config import ConfigDict
@@ -79,7 +84,8 @@ def run_sweep(config, samplers, nfes, strides, out_dir, ref_dir=None,
         raise ValueError("the sweep's quality metrics read PNG directories;"
                          " set evaluation.save_mode=image")
     preloaded = load_eval_state(config)
-    quality = _make_quality_fn(ref_dir, ref_stats, weights, fid_batch)
+    quality = _make_quality_fn(ref_dir, ref_stats, weights, fid_batch,
+                               swd=swd)
     os.makedirs(out_dir, exist_ok=True)
     jsonl = os.path.join(out_dir, "sweep.jsonl")
     jit_cache = {}
