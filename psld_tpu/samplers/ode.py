@@ -412,6 +412,15 @@ class EIODESampler(Sampler):
         x, m = split_xm(z)
         return join_xm(c[0] * x + c[1] * m, c[2] * x + c[3] * m)
 
+    def _eps_eval(self, u, tau):
+        """The per-node effective eps: one network forward, zero-padded in
+        the reduced-score modes. Overridable hook (the guided subclass
+        folds the classifier gradient in here, so the multistep
+        extrapolation and quadrature weights apply to the guided eps)."""
+        tv = jnp.full((u.shape[0],), self.sde.T - tau, dtype=tau.dtype)
+        return self._pad_eps(self.score_fn(
+            u.astype(jnp.float32), tv.astype(jnp.float32))).astype(u.dtype)
+
     def _pad_eps(self, eps_hat):
         """Zero-fill the unused half in the reduced-output modes, mirroring
         get_score (psld.py:230-260); the W entries that would read the
@@ -447,10 +456,7 @@ class EIODESampler(Sampler):
             def body3(carry, inp):
                 u, e_p, e_pp, h1, h2 = carry
                 tau, dtau, m1f, m2f, e_row, p0_row, p1_row, p2_row = inp
-                tv = jnp.full((u.shape[0],), sde.T - tau, dtype=tau.dtype)
-                eps_hat = self._pad_eps(self.score_fn(
-                    u.astype(jnp.float32),
-                    tv.astype(jnp.float32))).astype(u.dtype)
+                eps_hat = self._eps_eval(u, tau)
                 d1 = (eps_hat - e_p) * (m1f / h1).astype(u.dtype)
                 d1p = (e_p - e_pp) * (m2f / h2).astype(u.dtype)
                 d2 = (d1 - d1p) * (m2f / (h1 + h2)).astype(u.dtype)
@@ -471,10 +477,7 @@ class EIODESampler(Sampler):
             def body(carry, inp):
                 u, eps_prev, dt_prev = carry
                 tau, dtau, first_f, e_row, p0_row, p1_row = inp
-                tv = jnp.full((u.shape[0],), sde.T - tau, dtype=tau.dtype)
-                eps_hat = self._pad_eps(self.score_fn(
-                    u.astype(jnp.float32),
-                    tv.astype(jnp.float32))).astype(u.dtype)
+                eps_hat = self._eps_eval(u, tau)
                 u_new = self._apply(e_row, u) - self._apply(p0_row, eps_hat)
                 if self.order == 2:
                     slope = (eps_hat - eps_prev) * (
@@ -490,6 +493,57 @@ class EIODESampler(Sampler):
                                    probability_flow=True)
             u = u + f * jnp.asarray(eps, u.dtype)
         return u
+
+
+@register_module(category="samplers", name="cc_ei_ode")
+class ClassCondEIODESampler(EIODESampler):
+    """Classifier-guided exponential-integrator PF-ODE sampler (TPU-native
+    extension; the reference's only guided sampler is the 1000-NFE EM,
+    main/samplers/sde.py:61-122 — deterministic low-NFE guided sampling
+    has no counterpart there).
+
+    Guidance enters in eps space: score_guided = score + temp*grad with
+    score = -L^{-T} eps gives ``eps_eff = eps_hat - L^T(t) grad`` (the
+    identity W L^T = (beta/2) G^2 makes the existing Psi quadrature
+    tables integrate the guidance term too), so the whole EI machinery —
+    exact linear transport, multistep extrapolation — applies to the
+    guided field unchanged. L^T(t) comes from the same scalar
+    factorization pipeline as the kernel (``get_coeff``); for VPSDE it
+    reduces to the scalar ``std(t)``. The final mean-only denoise
+    microstep (dt = eval_eps) stays unguided — its contribution is
+    O(eps).
+
+    Plugs into the guided entry point via
+    ``dataset.diffusion.evaluation.sampler.name=cc_ei_ode`` (same
+    clf_fn/y/traced-label mechanics as ``cc_em_sde``).
+    """
+
+    def __init__(self, config, sde, score_fn, clf_fn, corrector_fn=None,
+                 y=None):
+        super().__init__(config, sde, score_fn, corrector_fn=corrector_fn)
+        self.clf_fn = clf_fn
+        self.y = y if y is not None else int(
+            config.clf.evaluation.label_to_sample)
+        self.clf_temp = float(config.clf.evaluation.clf_temp)
+
+    def _lt_entries(self, t_phys):
+        """L^T(t) as 4 row-major scalars (transpose of the kernel factor)."""
+        sde = self.sde
+        if not sde.is_augmented:
+            s = sde._std(t_phys)
+            z = jnp.zeros_like(s)
+            return (s, z, z, z)
+        l11, l12, l21, l22 = sde.get_coeff(sde._cov(0.0, sde.mm_0, t_phys))
+        return (l11, l21, l12, l22)
+
+    def _eps_eval(self, u, tau):
+        from psld_tpu.samplers.sde_samplers import \
+            ClassCondEulerMaruyamaSampler as _CC
+
+        eps_hat = super()._eps_eval(u, tau)
+        t_phys = self.sde.T - tau
+        grad = _CC._guidance(self, u, t_phys).astype(u.dtype)
+        return eps_hat - self._apply(self._lt_entries(t_phys), grad)
 
 
 def _vpsde_b(sde, t):

@@ -253,6 +253,23 @@ def test_clf_train_and_guided_sample(trained, workdir):
     assert len(_glob.glob(f"{save2}/images/*y0*.png")) == 8
     assert len(_glob.glob(f"{save2}/images/*y1*.png")) == 2
 
+    # guided exponential-integrator PF ODE (deterministic low-NFE guided
+    # sampling) through the same entry point
+    save3 = str(workdir / "cc_samples_ei")
+    cfg = compose(clf_argv + [
+        f"dataset.diffusion.evaluation.chkpt_path={ckpt_path}",
+        f"dataset.diffusion.evaluation.save_path={save3}",
+        "dataset.diffusion.evaluation.sampler.name=cc_ei_ode",
+        "dataset.diffusion.evaluation.n_discrete_steps=30",
+        "dataset.diffusion.evaluation.n_samples=4",
+        "dataset.diffusion.evaluation.batch_size=4",
+        f"dataset.clf.evaluation.chkpt_path={clf_ckpts[0]}",
+        "dataset.clf.evaluation.label_to_sample=3",
+        "dataset.clf.evaluation.clf_temp=1.0",
+    ])
+    assert class_cond_sample(cfg.dataset) == 4
+    assert len(_glob.glob(f"{save3}/images/*.png")) == 4
+
 
 def test_checkpoint_resume(trained, workdir):
     from psld_tpu.config import compose

@@ -597,6 +597,61 @@ def test_em_sampler_deterministic_given_key():
     assert not np.allclose(np.asarray(a), np.asarray(c))
 
 
+def test_cc_ei_ode_zero_temp_matches_unguided():
+    """cc_ei_ode with clf_temp=0 must reproduce ei_ode exactly — the
+    guidance correction is the only difference."""
+    from psld_tpu.samplers.ode import ClassCondEIODESampler
+
+    cfg, sde = _ei_sampler(n_steps=50)
+    score = psld_exact_score_fn(sde, 0.7)
+    ts = make_timesteps(50, 1e-3)
+    z = sde.prior_sampling(jax.random.PRNGKey(0), (32, 2, 2, 1))
+
+    def clf_fn(x, t):
+        return jnp.stack([x.mean((1, 2, 3)), -x.mean((1, 2, 3))], axis=-1)
+
+    cc_cfg = ConfigDict(cfg.to_dict())
+    cc_cfg["clf"] = ConfigDict(
+        {"evaluation": {"label_to_sample": 0, "clf_temp": 0.0}})
+    guided = ClassCondEIODESampler(cc_cfg, sde, score, clf_fn=clf_fn)
+    plain = EIODESampler(cfg, sde, score)
+    got = jax.jit(lambda z: guided.sample(None, z, ts, 50))(z)
+    want = jax.jit(lambda z: plain.sample(None, z, ts, 50))(z)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-6)
+
+
+def test_cc_ei_ode_guidance_steers():
+    """A classifier preferring large x for class 0 must shift the guided
+    terminal x-marginal up relative to unguided, and class 1 down —
+    deterministic guided sampling at 50 NFE."""
+    from psld_tpu.samplers.ode import ClassCondEIODESampler
+
+    cfg, sde = _ei_sampler(n_steps=50)
+    score = psld_exact_score_fn(sde, 0.7)
+    ts = make_timesteps(50, 1e-3)
+    z = sde.prior_sampling(jax.random.PRNGKey(0), (256, 2, 2, 1))
+
+    def clf_fn(x, t):
+        m = x[..., : x.shape[-1] // 2].mean((1, 2, 3))
+        return jnp.stack([4.0 * m, -4.0 * m], axis=-1)
+
+    def run(label, temp):
+        cc_cfg = ConfigDict(cfg.to_dict())
+        cc_cfg["clf"] = ConfigDict(
+            {"evaluation": {"label_to_sample": label, "clf_temp": temp}})
+        s = ClassCondEIODESampler(cc_cfg, sde, score, clf_fn=clf_fn)
+        out = jax.jit(lambda z: s.sample(None, z, ts, 50))(z)
+        return float(np.asarray(split_xm(out)[0]).mean())
+
+    # measured shifts at temp=10: base 0.030 -> up 0.053 / down -0.007
+    # (softmax saturation caps the pull once the class flips)
+    base = run(0, 0.0)
+    up = run(0, 10.0)
+    down = run(1, 10.0)
+    assert up > base + 0.015, (up, base)
+    assert down < base - 0.02, (down, base)
+
+
 def test_guided_sampler_dynamic_label_matches_static():
     """A traced-label guided sampler (one compiled program, label as a jit
     argument) must reproduce the config-static sampler for every class."""
