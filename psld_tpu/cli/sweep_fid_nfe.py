@@ -40,6 +40,9 @@ def main(argv=None):
     parser.add_argument("--swd", action="store_true",
                         help="add the weight-free multi-scale sliced "
                              "Wasserstein distance vs --ref-dir")
+    parser.add_argument("--kid", action="store_true",
+                        help="add the Kernel Inception Distance (unbiased "
+                             "at small n; needs --weights and --ref-dir)")
     args, overrides = parser.parse_known_args(
         sys.argv[1:] if argv is None else list(argv))
 
@@ -60,6 +63,7 @@ def main(argv=None):
         weights=args.weights,
         fid_batch=args.fid_batch,
         swd=args.swd,
+        kid=args.kid,
     )
 
 

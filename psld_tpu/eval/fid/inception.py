@@ -22,6 +22,7 @@ import jax.numpy as jnp
 import numpy as np
 
 FID_DIM = 2048
+N_LOGITS = 1008  # TF-ported head: 1000 classes + 8 legacy background units
 
 
 # ---------------------------------------------------------------------------
@@ -124,7 +125,7 @@ def all_conv_specs() -> dict:
 # Parameters
 # ---------------------------------------------------------------------------
 
-def random_params(key) -> dict:
+def random_params(key, with_fc: bool = False) -> dict:
     """Random folded-conv params (tests / smoke only)."""
     params = {}
     for name, (i, o, (kh, kw), _, _) in all_conv_specs().items():
@@ -133,6 +134,13 @@ def random_params(key) -> dict:
         params[name] = {
             "w": jax.random.normal(k1, (kh, kw, i, o), jnp.float32) * scale,
             "b": jnp.zeros((o,), jnp.float32),
+        }
+    if with_fc:
+        key, k1 = jax.random.split(key)
+        params["fc"] = {
+            "w": jax.random.normal(k1, (FID_DIM, N_LOGITS), jnp.float32)
+            * float(1.0 / np.sqrt(FID_DIM)),
+            "b": jnp.zeros((N_LOGITS,), jnp.float32),
         }
     return params
 
@@ -161,6 +169,11 @@ def load_torch_checkpoint(path: str) -> dict:
             "w": jnp.asarray(w_folded.transpose(2, 3, 1, 0)),  # OIHW -> HWIO
             "b": jnp.asarray(b_folded),
         }
+    if "fc.weight" in sd:  # 1008-way logits head (needed for ISC only)
+        fw = sd["fc.weight"].numpy()  # [1008, 2048]
+        fb = sd["fc.bias"].numpy()
+        assert fw.shape == (N_LOGITS, FID_DIM), fw.shape
+        params["fc"] = {"w": jnp.asarray(fw.T), "b": jnp.asarray(fb)}
     return params
 
 
@@ -310,5 +323,29 @@ def extract_features(params: dict, images: jax.Array,
     return x.mean(axis=(1, 2))  # adaptive avg pool -> [N, 2048]
 
 
+def logits_from_features(params: dict, feats: jax.Array) -> jax.Array:
+    """[N, 2048] pool3 features -> [N, 1008] classifier logits (for ISC).
+
+    torch-fidelity derives the Inception Score from the softmax of this
+    fc head over the same pool3 features FID uses; the head weights ride in
+    the same ``pt_inception-2015-12-05`` checkpoint (keys fc.weight/fc.bias).
+    """
+    if "fc" not in params:
+        raise ValueError(
+            "checkpoint has no fc head (fc.weight/fc.bias) — the Inception "
+            "Score needs the full pt_inception-2015-12-05 state_dict")
+    return feats @ params["fc"]["w"] + params["fc"]["b"]
+
+
 def make_feature_fn(params: dict):
     return jax.jit(partial(extract_features, params))
+
+
+def make_feature_logits_fn(params: dict):
+    """jitted images -> (pool3 features [N,2048], logits [N,1008])."""
+
+    def fn(images):
+        feats = extract_features(params, images)
+        return feats, logits_from_features(params, feats)
+
+    return jax.jit(fn)

@@ -26,7 +26,8 @@ import time
 logger = logging.getLogger(__name__)
 
 
-def _make_quality_fn(ref_dir, ref_stats, weights, batch, swd=False):
+def _make_quality_fn(ref_dir, ref_stats, weights, batch, swd=False,
+                     kid=False):
     """Builds the per-directory quality metric closure ONCE: the Inception
     net, its jitted feature fn, and the reference-side moments are
     invariant across the sweep (recomputing the data moments per combo
@@ -35,18 +36,22 @@ def _make_quality_fn(ref_dir, ref_stats, weights, batch, swd=False):
     if not (ref_dir or weights):
         return lambda gen_dir: {}
 
-    feature_fn = mu2 = cov2 = None
+    feature_fn = mu2 = cov2 = ref_feats = None
     if weights:
-        from psld_tpu.cli.fid import compute_moments
+        from psld_tpu.cli.fid import collect
         from psld_tpu.eval.fid import (load_stats, load_torch_checkpoint,
                                        make_feature_fn)
 
         feature_fn = make_feature_fn(load_torch_checkpoint(weights))
-        if ref_stats:
+        if kid and not ref_dir:
+            raise ValueError("KID needs --ref-dir (raw features, not .npz "
+                             "moments)")
+        if ref_stats and not kid:
             mu2, cov2 = load_stats(ref_stats)
         elif ref_dir:
-            mu2, cov2 = compute_moments(ref_dir, feature_fn,
-                                        batch).finalize()
+            m2, ref_feats, _ = collect(ref_dir, feature_fn, batch,
+                                       want_feats=kid, want_logits=False)
+            mu2, cov2 = m2.finalize()
         else:
             raise ValueError("FID needs --ref-dir or --ref-stats")
 
@@ -61,12 +66,17 @@ def _make_quality_fn(ref_dir, ref_stats, weights, batch, swd=False):
 
                 out["swd"] = swd_dirs(gen_dir, ref_dir)
         if feature_fn is not None:
-            from psld_tpu.cli.fid import compute_moments
-            from psld_tpu.eval.fid import frechet_distance
+            from psld_tpu.cli.fid import collect
+            from psld_tpu.eval.fid import frechet_distance, kid_from_features
 
-            mu1, cov1 = compute_moments(gen_dir, feature_fn,
-                                        batch).finalize()
+            m1, gen_feats, _ = collect(gen_dir, feature_fn, batch,
+                                       want_feats=kid, want_logits=False)
+            mu1, cov1 = m1.finalize()
             out["fid"] = float(frechet_distance(mu1, cov1, mu2, cov2))
+            if kid:
+                kid_mean, kid_std = kid_from_features(gen_feats, ref_feats)
+                out["kid"] = kid_mean
+                out["kid_std"] = kid_std
         return out
 
     return quality
@@ -74,7 +84,7 @@ def _make_quality_fn(ref_dir, ref_stats, weights, batch, swd=False):
 
 def run_sweep(config, samplers, nfes, strides, out_dir, ref_dir=None,
               ref_stats=None, weights=None, fid_batch=64,
-              swd=False) -> list:
+              swd=False, kid=False) -> list:
     """Sample `config`'s checkpoint under every combination; returns the
     list of result records (also appended to <out_dir>/sweep.jsonl)."""
     from psld_tpu.config import ConfigDict
@@ -85,7 +95,7 @@ def run_sweep(config, samplers, nfes, strides, out_dir, ref_dir=None,
                          " set evaluation.save_mode=image")
     preloaded = load_eval_state(config)
     quality = _make_quality_fn(ref_dir, ref_stats, weights, fid_batch,
-                               swd=swd)
+                               swd=swd, kid=kid)
     os.makedirs(out_dir, exist_ok=True)
     jsonl = os.path.join(out_dir, "sweep.jsonl")
     jit_cache = {}

@@ -174,6 +174,15 @@ class FIDInceptionOracle(nn.Module):
         self.Mixed_7a = InceptionD(768)
         self.Mixed_7b = InceptionE(1280, pool="avg")
         self.Mixed_7c = InceptionE(2048, pool="max")
+        # The real checkpoint keeps the TF-ported 1008-way classifier head
+        # (1000 classes + 8 legacy background units); torch-fidelity's ISC
+        # runs softmax over it. Registered LAST so the generator draw order
+        # of random_state_dict for the conv/BN weights is unchanged.
+        self.fc = nn.Linear(2048, 1008)
+
+    @torch.no_grad()
+    def logits(self, x, resize=True):
+        return self.fc(self.forward(x, resize=resize))
 
     @torch.no_grad()
     def forward(self, x, resize=True):
@@ -212,6 +221,10 @@ def random_state_dict(seed: int = 0) -> dict:
             sd[key] = 0.1 * torch.randn(t.shape, generator=g)
         elif key.endswith("num_batches_tracked"):
             sd[key] = t
+        elif key == "fc.weight":
+            sd[key] = torch.randn(t.shape, generator=g) * t.shape[1] ** -0.5
+        elif key == "fc.bias":
+            sd[key] = 0.1 * torch.randn(t.shape, generator=g)
         else:  # conv weights: fan-in scaled
             fan_in = t.shape[1] * t.shape[2] * t.shape[3]
             sd[key] = torch.randn(t.shape, generator=g) * fan_in ** -0.5
