@@ -31,6 +31,8 @@ CASES = {
     "cifar10_32": ("cifar10/cifar10_psld", 32, (64,)),
     "celeba_64": ("celeba64/celeba64_psld", 64, (16, 32)),
     "afhqv2_128": ("afhqv2/afhqv2128_psld", 128, (4, 8)),
+    # extension config (PARITY: session-2 addition), one resolution up
+    "celebahq_256": ("celebahq/celebahq256_psld", 256, (1, 2)),
 }
 SOTA = {
     # the SOTA recipe overrides from scripts/sota/uncond/*/train_*.sh
@@ -52,6 +54,8 @@ SOTA = {
     # AFHQv2-128 has no sota recipe in the reference; the YAML defaults
     # (ch_mult=[1,2,2,2,3], 2 resblocks) are its operating point
     "afhqv2_128": [],
+    # the celebahq256 YAML already encodes the standard NCSN++ 256 recipe
+    "celebahq_256": [],
 }
 
 
@@ -125,7 +129,9 @@ def main():
     from psld_tpu.samplers import make_timesteps
 
     v5e_peak = 197e12
-    for case in CASES:
+    selected = [c for c in os.environ.get("PSLD_RS_CASES", "").split(",")
+                if c]
+    for case in (selected or CASES):
         cfg, sde, net, size = build(case)
         n_params = None
         for batch in CASES[case][2]:

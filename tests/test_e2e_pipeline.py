@@ -442,6 +442,7 @@ def test_sweep_fid_nfe_cli(trained, workdir, tmp_path):
         "--ref-dir", ref_dir,
         "--weights", str(weights),
         "--fid-batch", "4",
+        "--kid",
     ] + argv + [
         f"dataset.diffusion.evaluation.chkpt_path={ckpt_path}",
         "dataset.diffusion.evaluation.n_samples=4",
@@ -455,6 +456,7 @@ def test_sweep_fid_nfe_cli(trained, workdir, tmp_path):
         assert rec["n_samples"] == 4
         assert rec["img_per_s"] > 0
         assert "fid" in rec and np.isfinite(rec["fid"]), rec
+        assert "kid" in rec and np.isfinite(rec["kid"]), rec
         assert "pixel_stats" in rec
     # distinct combos produced distinct output dirs
     assert len(glob.glob(f"{out_dir}/*_nfe4_*/images/*.png")) == 16
