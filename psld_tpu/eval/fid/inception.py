@@ -323,18 +323,23 @@ def extract_features(params: dict, images: jax.Array,
     return x.mean(axis=(1, 2))  # adaptive avg pool -> [N, 2048]
 
 
-def logits_from_features(params: dict, feats: jax.Array) -> jax.Array:
+def logits_from_features(params: dict, feats: jax.Array,
+                         unbiased: bool = True) -> jax.Array:
     """[N, 2048] pool3 features -> [N, 1008] classifier logits (for ISC).
 
-    torch-fidelity derives the Inception Score from the softmax of this
-    fc head over the same pool3 features FID uses; the head weights ride in
-    the same ``pt_inception-2015-12-05`` checkpoint (keys fc.weight/fc.bias).
+    torch-fidelity derives the Inception Score from ``logits_unbiased``
+    (its default ``feature_layer_isc``): the fc matmul over the same pool3
+    features FID uses, WITHOUT fc.bias. ``unbiased=True`` (default)
+    reproduces that; ``unbiased=False`` adds the bias (the checkpoint's
+    actual classifier head). The weights ride in the same
+    ``pt_inception-2015-12-05`` checkpoint (keys fc.weight/fc.bias).
     """
     if "fc" not in params:
         raise ValueError(
             "checkpoint has no fc head (fc.weight/fc.bias) — the Inception "
             "Score needs the full pt_inception-2015-12-05 state_dict")
-    return feats @ params["fc"]["w"] + params["fc"]["b"]
+    logits = feats @ params["fc"]["w"]
+    return logits if unbiased else logits + params["fc"]["b"]
 
 
 def make_feature_fn(params: dict):

@@ -63,13 +63,23 @@ def kid_from_features(f1: np.ndarray, f2: np.ndarray, subsets: int = 100,
 
     torch-fidelity defaults: 100 subsets of 1000 drawn without replacement.
     When either set is smaller than ``subset_size`` the subset shrinks to
-    the smaller set's size, so small smoke runs still produce a number.
+    the smaller set's size, so small smoke runs still produce a number —
+    with a warning, because torch-fidelity errors in that case and the
+    clamped value is NOT protocol-comparable to the tool's output.
     """
+    import warnings
+
     f1 = np.asarray(f1, np.float64)
     f2 = np.asarray(f2, np.float64)
     m = min(subset_size, f1.shape[0], f2.shape[0])
     if m < 2:
         raise ValueError("KID needs at least 2 samples per set")
+    if m < subset_size:
+        warnings.warn(
+            f"KID subset_size clamped {subset_size} -> {m} (set sizes "
+            f"{f1.shape[0]}/{f2.shape[0]}): torch-fidelity errors here, so "
+            "this value is not comparable to the fidelity CLI's KID",
+            stacklevel=2)
     rng = np.random.default_rng(seed)
     vals = []
     for _ in range(subsets):

@@ -525,6 +525,9 @@ class ClassCondEIODESampler(EIODESampler):
         self.y = y if y is not None else int(
             config.clf.evaluation.label_to_sample)
         self.clf_temp = float(config.clf.evaluation.clf_temp)
+        from psld_tpu.samplers.sde_samplers import clf_time_convention
+
+        self.clf_time_convention = clf_time_convention(config)
 
     def _lt_entries(self, t_phys):
         """L^T(t) as 4 row-major scalars (transpose of the kernel factor)."""
@@ -542,7 +545,10 @@ class ClassCondEIODESampler(EIODESampler):
 
         eps_hat = super()._eps_eval(u, tau)
         t_phys = self.sde.T - tau
-        grad = _CC._guidance(self, u, t_phys).astype(u.dtype)
+        # the kernel factor L^T lives at physical (diffusion) time always;
+        # only the classifier's conditioning time follows the convention
+        t_clf = tau if self.clf_time_convention == "reference" else t_phys
+        grad = _CC._guidance(self, u, t_clf).astype(u.dtype)
         return eps_hat - self._apply(self._lt_entries(t_phys), grad)
 
 

@@ -108,6 +108,28 @@ class EulerMaruyamaSampler(Sampler):
         return x
 
 
+def clf_time_convention(config) -> str:
+    """Which time the classifier is conditioned on during guided sampling:
+
+    - ``diffusion`` (default): ``T - t`` — the classifier's training
+      distribution (losses.py:150-177 perturbs to diffusion time, and the
+      reference's own inpainter conditions at ``T - t``, sde.py:141).
+    - ``reference``: raw sampler time ``t`` — bit-reproduces the reference
+      guided sampler (main/samplers/sde.py:87-88 passes the un-flipped loop
+      time), which an imported published reference classifier checkpoint
+      was evaluated under.
+
+    Config key: ``evaluation.sampler.clf_time_convention`` (optional).
+    """
+    sampler_cfg = config.evaluation.get("sampler") or {}
+    conv = str(sampler_cfg.get("clf_time_convention", "diffusion"))
+    if conv not in ("diffusion", "reference"):
+        raise ValueError(
+            "evaluation.sampler.clf_time_convention must be 'diffusion' or "
+            f"'reference'; got {conv!r}")
+    return conv
+
+
 @register_module(category="samplers", name="cc_em_sde")
 class ClassCondEulerMaruyamaSampler(Sampler):
     """EM with classifier guidance (reference samplers/sde.py:61-122).
@@ -115,11 +137,14 @@ class ClassCondEulerMaruyamaSampler(Sampler):
     The guidance gradient is ``jax.grad`` of the selected log-softmax w.r.t.
     the full phase-space state -- no inference_mode/requires_grad dance.
 
-    Deliberate deviation: the classifier is conditioned on diffusion time
-    ``T - t`` (its training distribution, losses.py:150-177) whereas the
-    reference passes raw sampler time (sde.py:87) while flipping time for
-    the score net inside reverse_sde (psld.py:345-364) -- an internal
-    inconsistency there; the reference's own inpainter uses ``T - t``.
+    Deliberate deviation (toggleable): by default the classifier is
+    conditioned on diffusion time ``T - t`` (its training distribution,
+    losses.py:150-177) whereas the reference passes raw sampler time
+    (sde.py:87) while flipping time for the score net inside reverse_sde
+    (psld.py:345-364) -- an internal inconsistency there; the reference's
+    own inpainter uses ``T - t``. Set
+    ``evaluation.sampler.clf_time_convention=reference`` to bit-reproduce
+    the reference's published guided behavior with imported classifiers.
     """
 
     def __init__(self, config, sde, score_fn, clf_fn, corrector_fn=None,
@@ -133,6 +158,7 @@ class ClassCondEulerMaruyamaSampler(Sampler):
         self.y = y if y is not None else int(
             config.clf.evaluation.label_to_sample)
         self.clf_temp = float(config.clf.evaluation.clf_temp)
+        self.clf_time_convention = clf_time_convention(config)
 
     def _guidance(self, x, t_phys):
         def selected_logp(x_in):
@@ -152,13 +178,16 @@ class ClassCondEulerMaruyamaSampler(Sampler):
         # (reference sde.py:116-121) -> same scan with noise flag zeroed
         grid = _step_grid(self.sde, ts, denoise, eps)
 
+        reference_time = self.clf_time_convention == "reference"
+
         def body(carry, inp):
             x, key = carry
             t, dt, flag = inp
+            t_clf = t if reference_time else self.sde.T - t
             key, sub, csub = _split_with_corrector(self, key)
             x, _ = _em_update(
                 self.sde, self.score_fn, x, t, dt, sub, flag,
-                guidance=lambda xx: self._guidance(xx, self.sde.T - t))
+                guidance=lambda xx: self._guidance(xx, t_clf))
             x = _corrected(self, x, t, dt, flag, csub)
             return (x, key), None
 

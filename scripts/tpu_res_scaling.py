@@ -131,6 +131,10 @@ def main():
     v5e_peak = 197e12
     selected = [c for c in os.environ.get("PSLD_RS_CASES", "").split(",")
                 if c]
+    unknown = [c for c in selected if c not in CASES]
+    if unknown:
+        raise SystemExit(f"unknown PSLD_RS_CASES {unknown}; "
+                         f"valid: {sorted(CASES)}")
     for case in (selected or CASES):
         cfg, sde, net, size = build(case)
         n_params = None

@@ -108,11 +108,18 @@ def test_fc_logits_gold_vs_torch_oracle(tmp_path):
     from psld_tpu.eval.fid import extract_features
 
     feats = extract_features(params, jnp.asarray(imgs))
+    x = torch.from_numpy(imgs.transpose(0, 3, 1, 2))
+    # default = torch-fidelity's 'logits_unbiased' (fc matmul, NO bias)
     got = np.asarray(logits_from_features(params, feats))
-    want = oracle.logits(torch.from_numpy(imgs.transpose(0, 3, 1, 2))).numpy()
+    with torch.no_grad():
+        want = (oracle.forward(x) @ oracle.fc.weight.T).numpy()
     assert got.shape == want.shape == (2, N_LOGITS)
     scale = float(np.abs(want).mean())
     np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-3 * scale)
+    # unbiased=False reproduces the checkpoint's actual fc head
+    got_b = np.asarray(logits_from_features(params, feats, unbiased=False))
+    want_b = oracle.logits(x).numpy()
+    np.testing.assert_allclose(got_b, want_b, rtol=2e-3, atol=2e-3 * scale)
 
 
 def test_logits_without_fc_raises():

@@ -209,3 +209,99 @@ def test_em_trajectory_matches_reference(ref_song, ref_core, monkeypatch):  # no
 @needs_reference
 def test_sscs_trajectory_matches_reference(ref_song, ref_core, monkeypatch):  # noqa: F811
     _run_pair(ref_song, ref_core, "sscs_sde", monkeypatch)
+
+
+def _shared_clf(ref_song):  # noqa: F811
+    """Tiny reference classifier (torch) + the same weights in flax."""
+    from psld_tpu.models.ncsnpp import NCSNppClassifier, _model_kwargs_clf
+
+    cfg = make_cfg(clf=True, num_res_blocks=1, nf=8)
+    torch.manual_seed(1)
+    ref_clf = ref_song.ncsnpp_clf.NCSNppClassifier(cfg).eval()
+    kw = _model_kwargs_clf(cfg)
+    sd = {k: v.detach().numpy() for k, v in ref_clf.state_dict().items()}
+    params = ti._convert(sd, ti.clf_module_walk(kw), kw, clf_head=True)
+    net = NCSNppClassifier(**kw)
+    return ref_clf, net, params
+
+
+def _run_guided(ref_song, ref_core, monkeypatch, convention):  # noqa: F811
+    """Drive the ACTUAL reference ClassCondEulerMaruyamaSampler
+    (main/samplers/sde.py:61-122) with shared score + classifier weights
+    and an identical noise stream, under both classifier-time conventions:
+
+    - ``reference``: the reference loop verbatim (clf conditioned on raw
+      sampler time, sde.py:87-88) — bit-reproduces published guided
+      behavior with imported reference classifiers.
+    - ``diffusion``: clf conditioned on T - t; the reference loop is
+      reproduced by wrapping its clf_fn with the time flip, proving the
+      toggle changes exactly the classifier's conditioning time and
+      nothing else.
+    """
+    ref_net, net, params = _shared_net(ref_song)
+    ref_clf, clf_net, clf_params = _shared_clf(ref_song)
+    jcfg, rcfg = _configs()
+    jcfg["evaluation"]["sampler"] = {"clf_time_convention": convention}
+    jcfg["clf"] = {"evaluation": {"label_to_sample": 1, "clf_temp": 2.0}}
+    rcfg["clf"] = {"evaluation": {"label_to_sample": 1, "clf_temp": 2.0}}
+    n = int(jcfg.evaluation.n_discrete_steps)
+    eps = float(jcfg.evaluation.eval_eps)
+
+    sde_j = PSLD(jcfg)
+    sde_r = ref_core.psld.PSLD(rcfg)
+
+    ts = np.linspace(0.0, sde_j.T - eps, n + 1)
+    u0 = np.random.default_rng(7).standard_normal(
+        (2, 16, 16, 2)).astype(np.float32)
+    key = jax.random.PRNGKey(11)
+
+    sampler_j = get_module("samplers", "cc_em_sde")(
+        jcfg, sde_j, lambda z, t: net.apply(params, z, t),
+        clf_fn=lambda z, t: clf_net.apply(clf_params, z, t))
+    assert sampler_j.clf_time_convention == convention
+    out_j = np.asarray(jax.jit(
+        lambda k, b: sampler_j.sample(k, b, jnp.asarray(ts), n,
+                                      denoise=True, eps=eps)
+    )(key, jnp.asarray(u0)))
+
+    # guided EM consumes one noise per row incl. the denoise row (the
+    # reference's denoise predictor draws-and-discards, sde.py:117-121)
+    noises = _em_noise_schedule(key, n + 1, u0.shape)
+    monkeypatch.setattr(torch, "randn_like", _fake_randn_like(noises))
+
+    def ref_score(u, t):
+        with torch.no_grad():
+            return ref_net(u, t)
+
+    T = float(sde_r.T)
+    if convention == "reference":
+        ref_clf_fn = ref_clf
+    else:
+        def ref_clf_fn(u, t):  # flip to diffusion time
+            return ref_clf(u, T - t)
+
+    sampler_r = ref_core.samplers.ClassCondEulerMaruyamaSampler(
+        rcfg, sde_r, ref_score, clf_fn=ref_clf_fn)
+    u0_t = torch.from_numpy(np.ascontiguousarray(u0.transpose(0, 3, 1, 2)))
+    out_r = sampler_r.sample(u0_t, torch.from_numpy(ts), n,
+                             denoise=True, eps=eps)
+    out_r = out_r.detach().numpy().transpose(0, 2, 3, 1)
+
+    assert np.abs(out_j).max() > 0.1
+    np.testing.assert_allclose(out_j, out_r, rtol=1e-4, atol=1e-4)
+    return out_j
+
+
+@needs_reference
+def test_guided_trajectory_matches_reference_convention(
+        ref_song, ref_core, monkeypatch):  # noqa: F811
+    _run_guided(ref_song, ref_core, monkeypatch, "reference")
+
+
+@needs_reference
+def test_guided_trajectory_matches_diffusion_convention(
+        ref_song, ref_core, monkeypatch):  # noqa: F811
+    out_d = _run_guided(ref_song, ref_core, monkeypatch, "diffusion")
+    out_r = _run_guided(ref_song, ref_core, monkeypatch, "reference")
+    # the two conventions are genuinely different trajectories
+    assert np.abs(out_d - out_r).max() > 1e-6
