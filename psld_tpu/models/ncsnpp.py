@@ -12,7 +12,7 @@ For PSLD, in_ch = out_ch = 2 * num_channels (x || m on the channel axis).
 from __future__ import annotations
 
 from functools import partial
-from typing import Sequence
+from typing import Any, Sequence
 
 import flax.linen as nn
 import jax
@@ -52,6 +52,7 @@ def _model_kwargs(config) -> dict:
         init_scale=float(sf.init_scale),
         fourier_scale=float(sf.fourier_scale),
         remat=bool(sf.get("remat", False)),
+        scan_blocks=bool(sf.get("scan_blocks", False)),
     )
 
 
@@ -69,6 +70,42 @@ def _remat_block_cls(cls):
         wrapped.__name__ = cls.__name__
         _REMAT_BLOCK_CLS[cls] = wrapped
     return _REMAT_BLOCK_CLS[cls]
+
+
+class _ScanBody(nn.Module):
+    """One (ResBlock [+ Attn]) step of an nn.scan'd same-shape stack.
+
+    Holds plain (class, kwargs) specs instead of factory closures: a
+    closure over the parent module would re-enter the parent's method
+    scope and flax would parent the new submodule to the U-Net itself.
+    """
+
+    block_cls: Any
+    block_kwargs: Any
+    attn_cls: Any
+    attn_kwargs: Any
+    train: bool
+
+    @nn.compact
+    def __call__(self, h, temb):
+        h = self.block_cls(**self.block_kwargs)(h, temb, self.train)
+        if self.attn_cls is not None:
+            h = self.attn_cls(**self.attn_kwargs)(h)
+        return h, h
+
+
+class _ScanBodyCat(nn.Module):
+    """Decoder variant: each step concatenates its stacked skip."""
+
+    block_cls: Any
+    block_kwargs: Any
+    train: bool
+
+    @nn.compact
+    def __call__(self, h, skip, temb):
+        h = self.block_cls(**self.block_kwargs)(
+            jnp.concatenate([h, skip], axis=-1), temb, self.train)
+        return h, None
 
 
 class _NCSNBase(nn.Module):
@@ -100,6 +137,14 @@ class _NCSNBase(nn.Module):
     # NOT to reduce peak HBM -- the full forward recomputes at once).
     # Parameter paths are unchanged (nn.remat preserves module names).
     remat: bool = False
+    # fold each same-shape run of (ResBlock [+ Attn]) into one nn.scan
+    # stack: the body is traced/compiled ONCE instead of num_res_blocks
+    # times, shrinking the HLO ~8x for the SOTA recipe (8 blocks/level,
+    # scripts_psld/sota/uncond/cifar10/train_uncond_psld.sh:14) where
+    # first-compile time is super-linear in program size. CHANGES the
+    # parameter layout (stacked leading axis); converters:
+    # psld_tpu.models.scan_params.{to_scanned,from_scanned}.
+    scan_blocks: bool = False
 
     def _validate(self):
         assert self.progressive in ("none", "output_skip", "residual")
@@ -115,26 +160,72 @@ class _NCSNBase(nn.Module):
     def all_resolutions(self):
         return [self.image_size // (2**i) for i in range(len(self.ch_mult))]
 
-    def _resnet_block(self, **kw):
+    def _resnet_block_spec(self, **kw):
+        """(class, ctor kwargs) for a resblock — constructable either here
+        or inside a scan body (which must not call parent methods)."""
         ddpm = self.resblock_type == "ddpm"
         cls = layers.ResnetBlockDDPM if ddpm else layers.ResnetBlockBigGAN
         if self.remat:
             cls = _remat_block_cls(cls)
         if ddpm:
-            return cls(
+            kwargs = dict(
                 act=self.act, dropout=self.dropout,
                 init_scale=self.init_scale, skip_rescale=self.skip_rescale,
                 **{k: v for k, v in kw.items() if k not in ("up", "down")},
             )
-        return cls(
-            act=self.act, dropout=self.dropout, fir=self.fir,
-            fir_kernel=self.fir_kernel, init_scale=self.init_scale,
-            skip_rescale=self.skip_rescale, **kw,
-        )
+        else:
+            kwargs = dict(
+                act=self.act, dropout=self.dropout, fir=self.fir,
+                fir_kernel=self.fir_kernel, init_scale=self.init_scale,
+                skip_rescale=self.skip_rescale, **kw,
+            )
+        return cls, kwargs
 
-    def _attn(self):
+    def _resnet_block(self, counters=None, **kw):
+        """``counters`` (scan mode only) pins the explicit name to the index
+        flax auto-naming WOULD assign in the unscanned model, so every
+        non-folded parameter path is identical across the two layouts."""
+        cls, kwargs = self._resnet_block_spec(**kw)
+        if self.scan_blocks and counters is not None:
+            kwargs["name"] = f"{cls.__name__}_{counters['rb']}"
+            counters["rb"] += 1
+        return cls(**kwargs)
+
+    def _attn(self, counters=None):
+        kw = {}
+        if self.scan_blocks and counters is not None:
+            kw["name"] = f"AttnBlock_{counters['at']}"
+            counters["at"] += 1
         return layers.AttnBlock(skip_rescale=self.skip_rescale,
-                                init_scale=self.init_scale)
+                                init_scale=self.init_scale, **kw)
+
+    def _scan_run(self, n, with_attn, counters, train, out_ch,
+                  decoder=False):
+        """Build one nn.scan stack over ``n`` identical (ResBlock [+Attn])
+        bodies. The stack's name records the unscanned auto-name indexes it
+        folds (``scan_rb<first>_at<first|-1>_n<len>``), which is all the
+        layout converters need (models/scan_params.py)."""
+        name = (f"scan_rb{counters['rb']}_"
+                f"at{counters['at'] if with_attn else -1}_n{n}")
+        counters["rb"] += n
+        if with_attn:
+            counters["at"] += n
+        body = _ScanBodyCat if decoder else _ScanBody
+        scanned = nn.scan(
+            body,
+            variable_axes={"params": 0},
+            split_rngs={"params": True, "dropout": True},
+            in_axes=(0, nn.broadcast) if decoder else nn.broadcast,
+            length=n,
+        )
+        block_cls, block_kwargs = self._resnet_block_spec(out_ch=out_ch)
+        kw = dict(block_cls=block_cls, block_kwargs=block_kwargs,
+                  train=train, name=name)
+        if not decoder:
+            kw["attn_cls"] = layers.AttnBlock if with_attn else None
+            kw["attn_kwargs"] = dict(skip_rescale=self.skip_rescale,
+                                     init_scale=self.init_scale)
+        return scanned(**kw)
 
     def _time_embedding(self, time_cond):
         """(reference ncsnpp.py:287-313)"""
@@ -153,9 +244,11 @@ class _NCSNBase(nn.Module):
             temb = None
         return temb
 
-    def _encoder(self, x, temb, train: bool):
+    def _encoder(self, x, temb, train: bool, counters=None):
         """Down path + middle (reference ncsnpp.py:319-367); returns the
-        middle output and the skip stack."""
+        middle output and the skip stack. ``counters`` threads the
+        scan-mode naming state (see ``_resnet_block``)."""
+        counters = counters if counters is not None else {"rb": 0, "at": 0}
         num_resolutions = len(self.ch_mult)
         all_res = self.all_resolutions
 
@@ -165,12 +258,28 @@ class _NCSNBase(nn.Module):
 
         hs = [layers.conv3x3(self.nf)(x)]
         for i_level in range(num_resolutions):
-            for _ in range(self.num_res_blocks):
-                h = self._resnet_block(out_ch=self.nf * self.ch_mult[i_level])(
-                    hs[-1], temb, train)
-                if all_res[i_level] in self.attn_resolutions:
-                    h = self._attn()(h)
-                hs.append(h)
+            out_ch = self.nf * self.ch_mult[i_level]
+            with_attn = all_res[i_level] in self.attn_resolutions
+            j = 0
+            while j < self.num_res_blocks:
+                # maximal same-shape run: every block after the first has
+                # in_ch == out_ch, so once the channels line up the whole
+                # remainder of the level folds into one scan stack
+                run = (self.num_res_blocks - j
+                       if self.scan_blocks and hs[-1].shape[-1] == out_ch
+                       else 1)
+                if run >= 2:
+                    h, ys = self._scan_run(run, with_attn, counters, train,
+                                           out_ch)(hs[-1], temb)
+                    hs.extend(ys[s] for s in range(run))
+                    j += run
+                else:
+                    h = self._resnet_block(counters, out_ch=out_ch)(
+                        hs[-1], temb, train)
+                    if with_attn:
+                        h = self._attn(counters)(h)
+                    hs.append(h)
+                    j += 1
 
             if i_level != num_resolutions - 1:
                 if self.resblock_type == "ddpm":
@@ -178,7 +287,8 @@ class _NCSNBase(nn.Module):
                         with_conv=self.resamp_with_conv, fir=self.fir,
                         fir_kernel=self.fir_kernel)(hs[-1])
                 else:
-                    h = self._resnet_block(down=True)(hs[-1], temb, train)
+                    h = self._resnet_block(counters, down=True)(
+                        hs[-1], temb, train)
 
                 if self.progressive_input == "input_skip":
                     input_pyramid = layers.Downsample(
@@ -200,9 +310,9 @@ class _NCSNBase(nn.Module):
                 hs.append(h)
 
         h = hs[-1]
-        h = self._resnet_block()(h, temb, train)
-        h = self._attn()(h)
-        h = self._resnet_block()(h, temb, train)
+        h = self._resnet_block(counters)(h, temb, train)
+        h = self._attn(counters)(h)
+        h = self._resnet_block(counters)(h, temb, train)
         return h, hs
 
 
@@ -221,18 +331,40 @@ class NCSNpp(_NCSNBase):
         num_resolutions = len(self.ch_mult)
         all_res = self.all_resolutions
 
+        counters = {"rb": 0, "at": 0}
         temb = self._time_embedding(time_cond)
-        h, hs = self._encoder(x, temb, train)
+        h, hs = self._encoder(x, temb, train, counters)
 
         # Upsampling path (reference ncsnpp.py:369-421)
         pyramid = None
         for i_level in reversed(range(num_resolutions)):
-            for _ in range(self.num_res_blocks + 1):
-                h = self._resnet_block(out_ch=self.nf * self.ch_mult[i_level])(
-                    jnp.concatenate([h, hs.pop()], axis=-1), temb, train)
+            out_ch = self.nf * self.ch_mult[i_level]
+            total = self.num_res_blocks + 1
+            j = 0
+            while j < total:
+                # maximal run with the carry already at out_ch and a
+                # constant skip width (runs break at level boundaries
+                # where the popped skip changes channel count)
+                run = 1
+                if self.scan_blocks and h.shape[-1] == out_ch:
+                    skip_c = hs[-1].shape[-1]
+                    while (j + run < total
+                           and hs[-1 - run].shape[-1] == skip_c):
+                        run += 1
+                if run >= 2:
+                    skips = jnp.stack([hs.pop() for _ in range(run)])
+                    h, _ = self._scan_run(run, False, counters, train,
+                                          out_ch, decoder=True)(
+                        h, skips, temb)
+                    j += run
+                else:
+                    h = self._resnet_block(counters, out_ch=out_ch)(
+                        jnp.concatenate([h, hs.pop()], axis=-1), temb,
+                        train)
+                    j += 1
 
             if all_res[i_level] in self.attn_resolutions:
-                h = self._attn()(h)
+                h = self._attn(counters)(h)
 
             if self.progressive != "none":
                 if i_level == num_resolutions - 1:
@@ -269,7 +401,7 @@ class NCSNpp(_NCSNBase):
                         with_conv=self.resamp_with_conv, fir=self.fir,
                         fir_kernel=self.fir_kernel)(h)
                 else:
-                    h = self._resnet_block(up=True)(h, temb, train)
+                    h = self._resnet_block(counters, up=True)(h, temb, train)
 
         assert not hs
 
@@ -329,6 +461,7 @@ def _model_kwargs_clf(config) -> dict:
         init_scale=float(cf.init_scale),
         fourier_scale=float(cf.fourier_scale),
         remat=bool(cf.get("remat", False)),
+        scan_blocks=bool(cf.get("scan_blocks", False)),
         n_cls=int(cf.n_cls),
     )
     return kwargs

@@ -392,6 +392,14 @@ def _train_clf(config, stop, max_steps: int | None = None):
 
     restore = str(tcfg.restore_path or "")
     start_epoch = 0
+    if restore == "latest" or (not restore and bool(tcfg.get("auto_resume",
+                                                             False))):
+        # same relaunch-the-command preemption recovery as train_sde
+        restore = ckpt.latest_checkpoint(f"{tcfg.results_dir}/checkpoints"
+                                         ) or ""
+        if not restore and str(tcfg.restore_path or "") == "latest":
+            logger.info("restore_path=latest: no classifier checkpoint "
+                        "yet, starting fresh")
     if restore:
         state = ckpt.restore_checkpoint(restore, state)
         state = replicate(state, mesh)

@@ -92,6 +92,11 @@ def _export(params: dict, names: list[str], kw,
             "export requires noise_cond=True: the reference constructs "
             "dead temb Dense parameters we cannot reconstruct")
     tree = params["params"] if "params" in params else params
+    from psld_tpu.models.scan_params import SCAN_RE, from_scanned
+
+    if any(SCAN_RE.match(k) for k in tree):
+        # scan_blocks layout: unstack to per-block before the walk
+        tree = from_scanned(tree)
     unknown = sorted(set(tree) - set(names))
     if unknown:
         raise ValueError(f"modules not in the reference walk: {unknown}")

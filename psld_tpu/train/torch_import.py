@@ -255,11 +255,32 @@ def _strip(sd: dict, prefix: str) -> dict:
             if k.startswith(prefix)}
 
 
+def _maybe_scan_layout(params, kw, clf: bool = False):
+    """Re-stack a per-block tree into the scan_blocks layout when the
+    target config enables it (models/scan_params.py)."""
+    if params is None or not kw.get("scan_blocks"):
+        return params
+    import jax
+    import jax.numpy as jnp
+
+    from psld_tpu.models.ncsnpp import NCSNpp, NCSNppClassifier
+    from psld_tpu.models.scan_params import to_scanned
+
+    net = (NCSNppClassifier if clf else NCSNpp)(**kw)
+    x = jnp.zeros((1, kw["image_size"], kw["image_size"], kw["in_ch"]),
+                  jnp.float32)
+    t = jnp.full((1,), 0.5, jnp.float32)
+    abstract = jax.eval_shape(net.init, jax.random.PRNGKey(0), x, t)
+    return to_scanned(params, abstract)
+
+
 def convert_score_checkpoint(path: str, config):
     """Lightning score checkpoint -> (params, ema_params) flax trees.
 
     ``config`` is the diffusion config subtree; the model overrides must
     match the checkpoint's training config (the walk is config-derived).
+    When the config enables ``scan_blocks``, the trees come back in the
+    stacked layout the scanned model expects.
     """
     from psld_tpu.models.ncsnpp import _model_kwargs
 
@@ -275,6 +296,8 @@ def convert_score_checkpoint(path: str, config):
     ema_params = _convert(ema, names, kw) if ema else params
     if params is None:
         params = ema_params
+    params = _maybe_scan_layout(params, kw)
+    ema_params = _maybe_scan_layout(ema_params, kw)
     logger.info("converted %d modules (%d online / %d EMA tensors)",
                 len(names), len(online), len(ema))
     return params, ema_params
@@ -291,4 +314,5 @@ def convert_clf_checkpoint(path: str, config):
     clf = _strip(sd, "clf_fn.")
     if not clf:
         clf = {k: v for k, v in sd.items() if k.startswith("all_modules.")}
-    return _convert(clf, names, kw, clf_head=True)
+    return _maybe_scan_layout(_convert(clf, names, kw, clf_head=True),
+                              kw, clf=True)

@@ -223,6 +223,42 @@ def test_clf_loop_steps_per_dispatch_e2e(tmp_path):
     assert glob.glob(f"{results}/checkpoints/clf-*")
 
 
+def test_clf_loop_restore_latest(tmp_path):
+    """restore_path=latest works for the classifier loop too: fresh start
+    when no checkpoint exists, then relaunch-the-same-command resume
+    (train_sde gained this in round 2; the clf loop treated 'latest' as a
+    literal path)."""
+    import glob
+
+    from psld_tpu.config import compose
+    from psld_tpu.train.loop import train_clf
+
+    results = str(tmp_path / "clf_results")
+    cfg = compose([
+        "+dataset=cifar10/cifar10_psld",
+        "dataset.clf.data.name=synthetic",
+        f"dataset.clf.data.root={tmp_path}",
+        "dataset.clf.data.image_size=16",
+        "dataset.clf.data.return_target=True",
+        "dataset.clf.model.clf_fn.nf=8",
+        "dataset.clf.model.clf_fn.ch_mult=[1,2]",
+        "dataset.clf.model.clf_fn.num_res_blocks=1",
+        "dataset.clf.model.clf_fn.attn_resolutions=[8]",
+        "dataset.clf.model.clf_fn.n_cls=10",
+        "dataset.clf.training.batch_size=4",
+        "dataset.clf.training.epochs=1",
+        "dataset.clf.training.chkpt_interval=1",
+        "dataset.clf.training.restore_path=latest",
+        f"dataset.clf.training.results_dir={results}",
+    ]).dataset
+    state = train_clf(cfg, max_steps=3)
+    assert int(state.step) == 3
+    assert glob.glob(f"{results}/checkpoints/clf-*")
+    # relaunch the same command: resumes past the restored step count
+    state = train_clf(cfg, max_steps=5)
+    assert int(state.step) >= 5
+
+
 def test_ema_tracks_params():
     cfg, sde, net, criterion, params = tiny_setup()
     step_fn, optimizer = make_train_step(net, sde, criterion, cfg,
