@@ -171,7 +171,8 @@ def evaluate_nll(config, max_batches: int | None = None):
     Hutchinson estimator and the fixed RK grid).
 
     Optional knobs under ``evaluation.likelihood``: n_steps (100), solver
-    (rk4|heun|euler), n_probes (1), eps (1e-5), stride — all read with
+    (rk4|heun|euler), n_probes (1), exact_div (False — exact Jacobian
+    trace instead of Hutchinson), eps (1e-5), stride — all read with
     defaults so the reference config surface is unchanged.
     ``evaluation.n_samples`` caps how much of the dataset is evaluated.
     """
@@ -197,6 +198,7 @@ def evaluate_nll(config, max_batches: int | None = None):
             sde, make_score_fn(net, p), n_steps=int(get("n_steps", 100)),
             eps=float(get("eps", 1e-5)), method=str(get("solver", "rk4")),
             n_probes=int(get("n_probes", 1)),
+            exact_div=bool(get("exact_div", False)),
             stride=str(get("stride", "quadratic")))
         if sde.is_augmented:
             nll, out = augmented_nll_bound(sde, lik, key, z)

@@ -10,6 +10,7 @@ structure instead of the flat ModuleList + cursor walk.
 from __future__ import annotations
 
 import math
+import os
 from functools import partial
 from typing import Any, Callable, Sequence
 
@@ -213,7 +214,10 @@ class AttnBlock(nn.Module):
         v = v.reshape(b, h_dim * w_dim, c)
         from psld_tpu.ops.attention import fused_attention
 
-        h = fused_attention(q, k, v, float(int(c) ** -0.5))
+        # PSLD_NO_FUSED_ATTN=1 pins the einsum path (A/B harness for the
+        # Pallas kernel; measured neutral at C=128, see PARITY)
+        force = False if os.environ.get("PSLD_NO_FUSED_ATTN") else None
+        h = fused_attention(q, k, v, float(int(c) ** -0.5), force=force)
         h = h.reshape(b, h_dim, w_dim, c).astype(x.dtype)
         h = NIN(c, init_scale=self.init_scale)(h)
         if not self.skip_rescale:

@@ -244,6 +244,14 @@ class _NCSNBase(nn.Module):
             temb = None
         return temb
 
+    def _cast_temb(self, temb, x):
+        """Keep the embedding math f32 but hand the trunk a temb in the
+        activation dtype, so mixed-precision (training.bf16) stays bf16
+        through the resblock time-bias Denses instead of promoting."""
+        if temb is not None and temb.dtype != x.dtype:
+            temb = temb.astype(x.dtype)
+        return temb
+
     def _encoder(self, x, temb, train: bool, counters=None):
         """Down path + middle (reference ncsnpp.py:319-367); returns the
         middle output and the skip stack. ``counters`` threads the
@@ -332,7 +340,7 @@ class NCSNpp(_NCSNBase):
         all_res = self.all_resolutions
 
         counters = {"rb": 0, "at": 0}
-        temb = self._time_embedding(time_cond)
+        temb = self._cast_temb(self._time_embedding(time_cond), x)
         h, hs = self._encoder(x, temb, train, counters)
 
         # Upsampling path (reference ncsnpp.py:369-421)
@@ -429,7 +437,7 @@ class NCSNppClassifier(_NCSNBase):
     def __call__(self, x: jax.Array, time_cond: jax.Array,
                  train: bool = False) -> jax.Array:
         self._validate()
-        temb = self._time_embedding(time_cond)
+        temb = self._cast_temb(self._time_embedding(time_cond), x)
         h, _ = self._encoder(x, temb, train)
         h = h.reshape(h.shape[0], -1)
         return nn.Dense(self.n_cls, use_bias=False,

@@ -46,16 +46,31 @@ def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float):
     o_ref[0] = o.astype(o_ref.dtype)
 
 
+def _lane_pad(c: int) -> int:
+    """Channel count rounded up to the 128-lane multiple the MXU tiles.
+
+    Odd widths (the AFHQ family's nf=160) are zero-padded to the next
+    lane multiple before the kernel and sliced back after: zero channels
+    add nothing to QK^T and produce zero output channels, so the result
+    is exact while the kernel sees only friendly shapes."""
+    return -(-c // 128) * 128
+
+
 def _pallas_ok(n: int, c: int, dtype) -> bool:
-    # one batch slice must fit comfortably in VMEM: q,k,v,o (N,C) + (N,N)
-    bytes_needed = (4 * n * c + n * n) * 4
-    return (
-        n % 8 == 0 and c % 128 == 0 and bytes_needed < 8 * 1024 * 1024
-    )
+    # one batch slice must fit comfortably in VMEM: q,k,v,o (N,C) + (N,N),
+    # at the lane-padded width actually staged
+    cp = _lane_pad(c)
+    bytes_needed = (4 * n * cp + n * n) * 4
+    return n % 8 == 0 and bytes_needed < 8 * 1024 * 1024
 
 
 def _pallas_attention(q, k, v, scale: float):
     b, n, c = q.shape
+    cp = _lane_pad(c)
+    if cp != c:
+        pad = [(0, 0), (0, 0), (0, cp - c)]
+        q, k, v = (jnp.pad(a, pad) for a in (q, k, v))
+        return _pallas_attention(q, k, v, scale)[..., :c]
     # index-map zeros must stay i32: under jax_enable_x64 a literal 0 traces
     # as i64, which Mosaic cannot legalize ("failed to legalize func.return");
     # deriving them from the (strongly-typed i32) grid index keeps the dtype

@@ -46,6 +46,12 @@ def make_train_step(net, sde, criterion, config, donate: bool = True,
     # activations live at a time -- the optimizer sees the full effective
     # batch A*B, letting few chips run recipes written for many GPUs)
     accum = int(config.training.get("grad_accum", 1))
+    # training.bf16: mixed-precision compute — params and activations cast
+    # to bf16 at the network boundary (so the backward's input-/filter-
+    # gradient convolutions AND all activation traffic run in bf16), while
+    # master weights, Adam moments, EMA, loss math, and the SDE coefficient
+    # pipeline stay f32. The cast's VJP returns f32 gradients.
+    bf16 = bool(config.training.get("bf16", False))
     from psld_tpu.train.state import make_optimizer
 
     optimizer = make_optimizer(config.training.optimizer)
@@ -55,9 +61,17 @@ def make_train_step(net, sde, criterion, config, donate: bool = True,
     # NOT to reduce peak HBM (the full forward rematerializes at once)
 
     def loss_fn(params, batch, t, rng):
+        if bf16:
+            p = jax.tree_util.tree_map(
+                lambda a: a.astype(jnp.bfloat16)
+                if a.dtype == jnp.float32 else a, params)
+        else:
+            p = params
+
         def score_fn(z, tt):
-            return net.apply(params, z, tt, train=True,
-                             rngs={"dropout": rng})
+            z = z.astype(jnp.bfloat16) if bf16 else z
+            out = net.apply(p, z, tt, train=True, rngs={"dropout": rng})
+            return out.astype(jnp.float32)
 
         return criterion(batch, t, score_fn, rng)
 

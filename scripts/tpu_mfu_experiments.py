@@ -1,0 +1,242 @@
+"""Train-step MFU experiments on one chip (round-3: attack the 44.7%).
+
+Round-2 measured the SOTA CIFAR-10 train step at bs128 = 317 ms (403
+img/s, 44.7% MFU vs the v5e bf16 peak) and attributed the gap to the
+backward convolutions + optimizer bandwidth without trying the levers.
+This script measures them:
+
+  phase "matrix": {f32, bf16} x {scan_blocks off, on} at bs128 —
+      compile_s (first dispatch, tunneled backend), sec_per_step (10
+      steps, host value fetch), img/s, MFU from the XLA cost model of the
+      jitted TRAIN STEP (fwd+bwd+Adam+EMA, lowered on CPU — the flop
+      count is backend-independent). scan rows double as the VERDICT #3
+      compile-time experiment.
+  phase "drift": 200 steps from one init, f32 vs bf16 (master weights f32
+      in both) on a fixed synthetic batch stream; loss every 10 steps,
+      reported as per-point relative differences.
+  phase "afhq_attn": afhqv2-128 (nf=160 family, attention C=320 — not a
+      lane multiple) train step bs8 with the lane-padded Pallas attention
+      vs PSLD_NO_FUSED_ATTN=1 einsum fallback.
+
+One JSON line per row -> scripts/results_mfu_r3.jsonl (+ stdout).
+
+Usage: PYTHONPATH=/root/repo:/root/.axon_site \
+           python scripts/tpu_mfu_experiments.py [phase ...]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+RESULTS = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                       "results_mfu_r3.jsonl")
+V5E_PEAK = 197e12
+
+SOTA_CIFAR = [
+    "+dataset=cifar10/cifar10_psld",
+    "dataset.diffusion.data.root='/tmp'",
+    "dataset.diffusion.model.score_fn.ch_mult=[2,2,2]",
+    "dataset.diffusion.model.score_fn.num_res_blocks=8",
+    "dataset.diffusion.model.score_fn.attn_resolutions=[16]",
+    "dataset.diffusion.model.score_fn.dropout=0.15",
+    "dataset.diffusion.model.score_fn.progressive_input='residual'",
+    "dataset.diffusion.model.score_fn.fir=True",
+    "dataset.diffusion.model.score_fn.embedding_type='fourier'",
+]
+SOTA_AFHQ = [
+    "+dataset=afhqv2/afhqv2128_psld",
+    "dataset.diffusion.data.root='/tmp'",
+]
+
+
+def emit(rec):
+    line = json.dumps(rec)
+    print(line, flush=True)
+    with open(RESULTS, "a") as f:
+        f.write(line + "\n")
+
+
+def build_step(overrides, bs, bf16=False, scan=False, seed=0):
+    from psld_tpu.config import compose
+    from psld_tpu.losses import PSLDScoreLoss
+    from psld_tpu.train.loop import build_score_model, build_sde
+    from psld_tpu.train.state import init_state
+    from psld_tpu.train.steps import make_train_step
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    ovr = list(overrides)
+    if bf16:
+        ovr.append("+dataset.diffusion.training.bf16=True")
+    if scan:
+        ovr.append("+dataset.diffusion.model.score_fn.scan_blocks=True")
+    cfg = compose(ovr).dataset.diffusion
+    size = int(cfg.data.image_size)
+    sde = build_sde(cfg)
+    net = build_score_model(cfg)
+    criterion = PSLDScoreLoss(cfg, sde)
+    x0 = jnp.zeros((1, size, size, 6), jnp.float32)
+    t0 = jnp.full((1,), 0.5, jnp.float32)
+    shapes = jax.eval_shape(net.init, jax.random.PRNGKey(0), x0, t0)
+    rng = np.random.default_rng(seed)
+    params = jax.tree_util.tree_map(
+        lambda s: jnp.asarray(
+            rng.standard_normal(s.shape).astype(s.dtype) * 0.02), shapes)
+    n_params = sum(int(np.prod(s.shape)) for s in jax.tree.leaves(shapes))
+    step_fn, optimizer = make_train_step(net, sde, criterion, cfg,
+                                         donate=False)
+    state = init_state(params, optimizer)
+    return step_fn, state, size, n_params
+
+
+def step_flops(which, bf16, scan):
+    """XLA cost-model flops of the full jitted train step, lowered on CPU
+    in a subprocess (flop count is backend-independent; the tunneled
+    backend has no client-side cost analysis)."""
+    env = dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH="/root/repo",
+               PSLD_MFU_COST_ONLY=f"{which}:{int(bf16)}:{int(scan)}")
+    try:
+        proc = subprocess.run([sys.executable, __file__], env=env,
+                              capture_output=True, text=True, timeout=1800)
+        return float(proc.stdout.strip().splitlines()[-1])
+    except Exception:
+        return None
+
+
+def cost_only(spec):
+    import jax
+    import jax.numpy as jnp
+
+    import psld_tpu
+
+    psld_tpu.enable_x64()
+    psld_tpu.import_modules_into_registry()
+
+    which, bf16, scan = spec.split(":")
+    overrides, bs = ((SOTA_CIFAR, 128) if which == "cifar"
+                     else (SOTA_AFHQ, 8))
+    step_fn, state, size, _ = build_step(overrides, bs, bf16 == "1",
+                                         scan == "1")
+    batch = jnp.zeros((bs, size, size, 3), jnp.float32)
+    cost = jax.jit(step_fn).lower(
+        state, batch, jax.random.PRNGKey(2)).cost_analysis()
+    if isinstance(cost, (list, tuple)):
+        cost = cost[0]
+    print(float(cost["flops"]))
+
+
+def timed_steps(step_fn, state, bs, size, n_iters=10):
+    import jax
+
+    import jax.numpy as jnp
+
+    batch = jax.random.normal(jax.random.PRNGKey(1), (bs, size, size, 3),
+                              jnp.float32)
+    t0 = time.time()
+    state, metrics = step_fn(state, batch, jax.random.PRNGKey(2))
+    float(metrics["loss"])  # host fetch forces execution on the tunnel
+    compile_s = time.time() - t0
+    t0 = time.time()
+    for i in range(n_iters):
+        state, metrics = step_fn(state, batch, jax.random.PRNGKey(3 + i))
+    float(metrics["loss"])
+    el = (time.time() - t0) / n_iters
+    return compile_s, el, state
+
+
+_COMPILED = {}  # (bf16, scan) -> (step_fn, size) — drift reuses matrix's
+
+
+def phase_matrix():
+    for bf16 in (False, True):
+        for scan in (False, True):
+            step_fn, state, size, n_params = build_step(
+                SOTA_CIFAR, 128, bf16, scan)
+            compile_s, el, _ = timed_steps(step_fn, state, 128, size)
+            _COMPILED[(bf16, scan)] = (step_fn, size)
+            flops = step_flops("cifar", bf16, scan)
+            rec = {"phase": "matrix", "bf16": bf16, "scan_blocks": scan,
+                   "batch": 128, "params_m": round(n_params / 1e6, 1),
+                   "compile_s": round(compile_s, 1),
+                   "sec_per_step": round(el, 4),
+                   "img_per_s": round(128 / el, 1)}
+            if flops:
+                rec["step_tflops"] = round(flops / 1e12, 3)
+                rec["mfu_vs_v5e_bf16_peak"] = round(
+                    flops / el / V5E_PEAK, 4)
+            emit(rec)
+
+
+def phase_drift():
+    import jax
+    import jax.numpy as jnp
+
+    curves = {}
+    for bf16 in (False, True):
+        # fresh state from one shared init; reuse the step program the
+        # matrix phase compiled (identical config -> jit cache hit)
+        new_fn, state, size, _ = build_step(SOTA_CIFAR, 128, bf16,
+                                            scan=False, seed=0)
+        step_fn = _COMPILED.get((bf16, False), (new_fn, size))[0]
+        losses = []
+        for i in range(200):
+            batch = jax.random.normal(jax.random.PRNGKey(1000 + i // 10),
+                                      (128, size, size, 3), jnp.float32)
+            state, metrics = step_fn(state, batch,
+                                     jax.random.PRNGKey(2000 + i))
+            if (i + 1) % 10 == 0:
+                losses.append(round(float(metrics["loss"]), 5))
+        curves[bf16] = losses
+    rel = [abs(a - b) / max(abs(b), 1e-9)
+           for a, b in zip(curves[True], curves[False])]
+    emit({"phase": "drift", "steps": 200, "every": 10,
+          "loss_f32": curves[False], "loss_bf16": curves[True],
+          "rel_diff_max": round(max(rel), 4),
+          "rel_diff_final": round(rel[-1], 4)})
+
+
+def phase_afhq_attn():
+    for fallback in (False, True):
+        os.environ.pop("PSLD_NO_FUSED_ATTN", None)
+        if fallback:
+            os.environ["PSLD_NO_FUSED_ATTN"] = "1"
+        step_fn, state, size, n_params = build_step(SOTA_AFHQ, 8)
+        compile_s, el, _ = timed_steps(step_fn, state, 8, size)
+        emit({"phase": "afhq_attn", "attention":
+              "einsum_fallback" if fallback else "pallas_lane_padded",
+              "batch": 8, "image_size": size,
+              "params_m": round(n_params / 1e6, 1),
+              "compile_s": round(compile_s, 1),
+              "sec_per_step": round(el, 4),
+              "img_per_s": round(8 / el, 1)})
+    os.environ.pop("PSLD_NO_FUSED_ATTN", None)
+
+
+def main():
+    spec = os.environ.get("PSLD_MFU_COST_ONLY")
+    if spec:
+        cost_only(spec)
+        return
+    import psld_tpu
+
+    psld_tpu.enable_x64()
+    psld_tpu.setup_cache()
+    psld_tpu.import_modules_into_registry()
+
+    phases = sys.argv[1:] or ["matrix", "drift", "afhq_attn"]
+    for ph in phases:
+        {"matrix": phase_matrix, "drift": phase_drift,
+         "afhq_attn": phase_afhq_attn}[ph]()
+    emit({"phase": "mfu_experiments_done"})
+
+
+if __name__ == "__main__":
+    main()

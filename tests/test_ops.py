@@ -227,6 +227,39 @@ def test_fused_attention_grad_matches_einsum_grad():
                                    rtol=1e-4, atol=1e-4)
 
 
+def test_fused_attention_lane_padded_channels():
+    """C % 128 != 0 (the AFHQ family's nf=160) dispatches to the Pallas
+    kernel via zero lane-padding and stays exact, value and grad."""
+    from psld_tpu.ops.attention import (_pallas_ok, attention_reference,
+                                        fused_attention)
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental.pallas import tpu as pltpu
+
+    assert _pallas_ok(256, 160, jnp.float32)
+    q = jnp.asarray(rand((2, 256, 160), seed=40))
+    k = jnp.asarray(rand((2, 256, 160), seed=41))
+    v = jnp.asarray(rand((2, 256, 160), seed=42))
+    scale = 160**-0.5
+    want = np.asarray(attention_reference(q, k, v, scale))
+    with pltpu.force_tpu_interpret_mode():
+        got = np.asarray(fused_attention(q, k, v, scale, force=True))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+    def loss_pal(q, k, v):
+        return jnp.sum(fused_attention(q, k, v, scale, force=True) ** 2)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(attention_reference(q, k, v, scale) ** 2)
+
+    want_g = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    with pltpu.force_tpu_interpret_mode():
+        got_g = jax.grad(loss_pal, argnums=(0, 1, 2))(q, k, v)
+    for g, w in zip(got_g, want_g):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w),
+                                   rtol=1e-4, atol=1e-4)
+
+
 def test_fused_group_norm_matches_flax():
     import flax.linen as nn
     import jax.numpy as jnp

@@ -215,6 +215,40 @@ def test_torch_import_restacks_scanned_layout():
         np.testing.assert_array_equal(d_got[k], d_want[k])
 
 
+def test_bf16_train_step():
+    """training.bf16: the compiled step really runs bf16 convolutions
+    (forward AND backward), master weights stay f32, and the loss tracks
+    the f32 step closely."""
+    from psld_tpu.registry import get_module
+    from psld_tpu.train.state import init_state
+    from psld_tpu.train.steps import make_train_step
+
+    losses = {}
+    for bf16 in (False, True):
+        cfg = _train_cfg(False)
+        cfg["training"]["bf16"] = bf16
+        net = NCSNpp.from_config(cfg)
+        sde = get_module("sde", "psld")(cfg)
+        criterion = get_module("losses", "psld_score_loss")(cfg, sde)
+        params = net.init(jax.random.PRNGKey(1), jnp.zeros(
+            (1, 16, 16, 2), jnp.float32), jnp.full((1,), 0.5))
+        step, optimizer = make_train_step(net, sde, criterion, cfg,
+                                          donate=False)
+        state = init_state(params, optimizer)
+        batch = jnp.asarray(np.random.default_rng(5).standard_normal(
+            (4, 16, 16, 1)), jnp.float32)
+        if bf16:
+            hlo = jax.jit(step).lower(
+                state, batch, jax.random.PRNGKey(3)).as_text()
+            assert "bf16" in hlo and "convolution" in hlo
+        state, metrics = step(state, batch, jax.random.PRNGKey(3))
+        assert all(p.dtype == jnp.float32
+                   for p in jax.tree.leaves(state.params))
+        losses[bf16] = float(metrics["loss"])
+        assert np.isfinite(losses[bf16])
+    np.testing.assert_allclose(losses[True], losses[False], rtol=0.05)
+
+
 def test_classifier_scan_forward_equivalence():
     kw = dict(BASE, n_cls=5)
     kw.pop("out_ch")
