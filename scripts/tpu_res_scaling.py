@@ -135,10 +135,14 @@ def main():
     if unknown:
         raise SystemExit(f"unknown PSLD_RS_CASES {unknown}; "
                          f"valid: {sorted(CASES)}")
+    # PSLD_RS_BATCHES=2,4 restricts the per-case batch list (re-runs of a
+    # single missing row shouldn't pay every row's compile again)
+    bs_filter = [int(b) for b in
+                 os.environ.get("PSLD_RS_BATCHES", "").split(",") if b]
     for case in (selected or CASES):
         cfg, sde, net, size = build(case)
         n_params = None
-        for batch in CASES[case][2]:
+        for batch in (bs_filter or CASES[case][2]):
             x0 = jnp.zeros((batch, size, size, 6), jnp.float32)
             t0 = jnp.full((batch,), 0.5, jnp.float32)
             shapes = jax.eval_shape(net.init, jax.random.PRNGKey(0), x0, t0)
