@@ -48,14 +48,18 @@ def _pf_drift(sde, score_fn, z, t):
 
 
 def _divergence_exact(drift_fn, z):
-    """Exact per-sample divergence via the Jacobian trace (O(D) jvp passes —
-    test/small-shape path)."""
+    """Exact per-sample divergence via the Jacobian trace (O(D) REVERSE-mode
+    passes — test/small-shape path).
+
+    Reverse mode (jacrev) rather than jacfwd: the score network's Pallas
+    attention ships a custom_vjp, and custom_vjp functions reject
+    forward-mode autodiff — a learned NCSN++ score is only reverse-
+    differentiable."""
     shape = z.shape[1:]
-    dim = int(np.prod(shape))
 
     def per_sample(zi):
         flat = lambda v: drift_fn(v.reshape((1,) + shape)[0:1]).ravel()
-        jac = jax.jacfwd(flat)(zi.ravel())
+        jac = jax.jacrev(flat)(zi.ravel())
         return jnp.trace(jac)
 
     return jax.vmap(per_sample)(z)
@@ -63,12 +67,18 @@ def _divergence_exact(drift_fn, z):
 
 def _divergence_hutchinson(drift_fn, z, probes):
     """Hutchinson estimator: mean_v v^T (d drift/dz) v over Rademacher
-    probes of shape [n_probes, *z.shape]."""
+    probes of shape [n_probes, *z.shape].
+
+    Contracted REVERSE-mode: v^T J v == (J^T v) . v, so one vjp per probe
+    gives the same scalar as the textbook jvp form — and vjp works through
+    the Pallas attention's custom_vjp, which rejects jax.jvp (forward
+    mode). Caught on the first learned-model NLL run (round 3)."""
     reduce_axes = tuple(range(1, z.ndim))
+    _, pullback = jax.vjp(drift_fn, z)
 
     def one(v):
-        _, jvp_v = jax.jvp(drift_fn, (z,), (v,))
-        return jnp.sum(v * jvp_v, axis=reduce_axes)
+        (jtv,) = pullback(v)
+        return jnp.sum(v * jtv, axis=reduce_axes)
 
     return jnp.mean(jax.vmap(one)(probes), axis=0)
 

@@ -70,10 +70,11 @@ def main():
     from psld_tpu.eval.likelihood import evaluate_nll
 
     ckpt = latest_ckpt(os.path.join(R3, "score"))
-    # exact trace costs O(D)=2048 tangent passes per RHS eval — run it at
-    # ONE cheap cell (its role is calibrating the Hutchinson bias), the
-    # Hutchinson rows at the full grid
-    cells = [(25, "exact", 0, 32, 32)]
+    # exact trace costs O(D)=2048 reverse passes per RHS eval, and jacrev
+    # vmaps the pullback over the D-identity basis (effective batch
+    # bs x 2048 — HBM-bound) — run it at ONE tiny cell (its role is
+    # calibrating the Hutchinson bias), the Hutchinson rows at the full grid
+    cells = [(25, "exact", 0, 8, 4)]
     cells += [(n, "hutchinson", p, N, BS)
               for n in (25, 50, 100) for p in (1, 4)]
     for n_steps, div, probes, n, bs in cells:

@@ -62,7 +62,7 @@ def emit(rec):
         f.write(line + "\n")
 
 
-def build_step(overrides, bs, bf16=False, scan=False, seed=0):
+def build_step(overrides, bs, bf16=False, scan=False, remat=False, seed=0):
     from psld_tpu.config import compose
     from psld_tpu.losses import PSLDScoreLoss
     from psld_tpu.train.loop import build_score_model, build_sde
@@ -78,6 +78,8 @@ def build_step(overrides, bs, bf16=False, scan=False, seed=0):
         ovr.append("+dataset.diffusion.training.bf16=True")
     if scan:
         ovr.append("+dataset.diffusion.model.score_fn.scan_blocks=True")
+    if remat:
+        ovr.append("+dataset.diffusion.model.score_fn.remat=True")
     cfg = compose(ovr).dataset.diffusion
     size = int(cfg.data.image_size)
     sde = build_sde(cfg)
@@ -154,25 +156,44 @@ def timed_steps(step_fn, state, bs, size, n_iters=10):
 
 _COMPILED = {}  # (bf16, scan) -> (step_fn, size) — drift reuses matrix's
 
+# the scan body saves every per-iteration intermediate for backward, so
+# scan WITHOUT remat OOMs HBM at bs128 (measured: 49.40 GB vs 15.75 GB) —
+# scan rows pair with per-block remat, with a remat-only row as the fair
+# step-time comparator
+MATRIX = [
+    # (bf16, scan, remat)
+    (False, False, False),
+    (False, False, True),
+    (False, True, True),
+    (True, False, False),
+    (True, True, True),
+]
+
 
 def phase_matrix():
-    for bf16 in (False, True):
-        for scan in (False, True):
-            step_fn, state, size, n_params = build_step(
-                SOTA_CIFAR, 128, bf16, scan)
-            compile_s, el, _ = timed_steps(step_fn, state, 128, size)
+    flops = None
+    for bf16, scan, remat in MATRIX:
+        step_fn, state, size, n_params = build_step(
+            SOTA_CIFAR, 128, bf16, scan, remat)
+        compile_s, el, _ = timed_steps(step_fn, state, 128, size)
+        if not remat:
             _COMPILED[(bf16, scan)] = (step_fn, size)
+        if flops is None:
+            # identical MODEL math in every variant (bf16 changes dtypes,
+            # scan program structure, remat adds recompute — MFU counts
+            # model flops) — lower on CPU once
             flops = step_flops("cifar", bf16, scan)
-            rec = {"phase": "matrix", "bf16": bf16, "scan_blocks": scan,
-                   "batch": 128, "params_m": round(n_params / 1e6, 1),
-                   "compile_s": round(compile_s, 1),
-                   "sec_per_step": round(el, 4),
-                   "img_per_s": round(128 / el, 1)}
-            if flops:
-                rec["step_tflops"] = round(flops / 1e12, 3)
-                rec["mfu_vs_v5e_bf16_peak"] = round(
-                    flops / el / V5E_PEAK, 4)
-            emit(rec)
+        rec = {"phase": "matrix", "bf16": bf16, "scan_blocks": scan,
+               "remat": remat,
+               "batch": 128, "params_m": round(n_params / 1e6, 1),
+               "compile_s": round(compile_s, 1),
+               "sec_per_step": round(el, 4),
+               "img_per_s": round(128 / el, 1)}
+        if flops:
+            rec["step_tflops"] = round(flops / 1e12, 3)
+            rec["mfu_vs_v5e_bf16_peak"] = round(
+                flops / el / V5E_PEAK, 4)
+        emit(rec)
 
 
 def phase_drift():

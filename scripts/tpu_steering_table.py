@@ -151,7 +151,7 @@ def main():
                                   y=TARGET)
             for nfe in NFES:
                 ts = make_timesteps(nfe, eps, sde.T,
-                                    str(dcfg.evaluation.stride))
+                                    str(dcfg.evaluation.stride_type))
                 key = jax.random.PRNGKey(7)
                 z0 = latent.sample_batch(jax.random.fold_in(key, 1), N)
                 run = jax.jit(lambda k, z: sampler.sample(k, z, ts, nfe))

@@ -85,6 +85,41 @@ def test_hutchinson_matches_exact_for_linear_drift():
     assert int(hutch["nfe"]) == 64
 
 
+def test_divergence_estimators_work_through_custom_vjp():
+    """A learned NCSN++ score routes through the Pallas attention's
+    custom_vjp, which REJECTS forward-mode autodiff — both divergence
+    estimators must therefore run in reverse mode (regression: the first
+    learned-model NLL run crashed with 'can't apply jvp to a custom_vjp
+    function', round 3)."""
+    from psld_tpu.eval.likelihood import (_divergence_exact,
+                                          _divergence_hutchinson)
+
+    @jax.custom_vjp
+    def f(z):
+        return jnp.tanh(z) * 2.0
+
+    def f_fwd(z):
+        return f(z), z
+
+    def f_bwd(z, g):
+        return (g * 2.0 * (1.0 - jnp.tanh(z) ** 2),)
+
+    f.defvjp(f_fwd, f_bwd)
+
+    z = jax.random.normal(jax.random.PRNGKey(0), (2, 4, 4, 2), jnp.float64)
+    # exact divergence of elementwise tanh*2: sum of 2*(1 - tanh^2)
+    want = np.sum(2.0 * (1.0 - np.tanh(np.asarray(z)) ** 2), axis=(1, 2, 3))
+    got = np.asarray(_divergence_exact(f, z))
+    np.testing.assert_allclose(got, want, rtol=1e-10)
+
+    probes = jnp.asarray(
+        2.0 * jax.random.bernoulli(
+            jax.random.PRNGKey(1), 0.5, (8,) + z.shape) - 1.0, z.dtype)
+    hutch = np.asarray(_divergence_hutchinson(f, z, probes))
+    # elementwise (diagonal) Jacobian -> Rademacher Hutchinson is exact
+    np.testing.assert_allclose(hutch, want, rtol=1e-10)
+
+
 def psld_gaussian_score_fn(sde, sigma0):
     """Exact eps-prediction for z0 = (x0, m0), x0 ~ N(0, sigma0^2),
     m0 ~ N(0, mm_0): marginal cov S_t from the kernel with xx_0 = sigma0^2;
