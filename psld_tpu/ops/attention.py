@@ -13,6 +13,7 @@ tests and unfriendly shapes.
 
 from __future__ import annotations
 
+import os
 from functools import partial
 
 import jax
@@ -60,6 +61,12 @@ def _pallas_ok(n: int, c: int, dtype) -> bool:
     # one batch slice must fit comfortably in VMEM: q,k,v,o (N,C) + (N,N),
     # at the lane-padded width actually staged
     cp = _lane_pad(c)
+    if cp != c and os.environ.get("PSLD_PAD_ATTN", "0") != "1":
+        # measured on-chip (AFHQv2-128 train shape, 16x16xC=160): the
+        # lane-padded kernel LOSES to the einsum fallback (108.3 vs
+        # 113.4 img/s — 60% padding FLOPs beat the fusion win), so odd
+        # widths default to the fallback; PSLD_PAD_ATTN=1 opts back in
+        return False
     bytes_needed = (4 * n * cp + n * n) * 4
     return n % 8 == 0 and bytes_needed < 8 * 1024 * 1024
 

@@ -37,9 +37,17 @@ import time
 sys.path.insert(0, "/root/repo")
 
 N_DEV = 8
-os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
-                           + f" --xla_force_host_platform_device_count={N_DEV}")
-os.environ["JAX_PLATFORMS"] = "cpu"
+
+# the axon sitecustomize (PYTHONPATH) imports jax before this module runs,
+# fixing the backend to 1 device — re-exec once with a clean interpreter so
+# the virtual 8-device CPU platform takes effect
+if os.environ.get("PSLD_COST_CHILD") != "1":
+    env = dict(os.environ, PSLD_COST_CHILD="1", PYTHONPATH="/root/repo",
+               JAX_PLATFORMS="cpu",
+               XLA_FLAGS=(os.environ.get("XLA_FLAGS", "")
+                          + f" --xla_force_host_platform_device_count={N_DEV}"))
+    os.execve(sys.executable, [sys.executable, os.path.abspath(__file__),
+                               *sys.argv[1:]], env)
 
 RESULTS = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                        "results_cost_table.jsonl")

@@ -227,15 +227,19 @@ def test_fused_attention_grad_matches_einsum_grad():
                                    rtol=1e-4, atol=1e-4)
 
 
-def test_fused_attention_lane_padded_channels():
-    """C % 128 != 0 (the AFHQ family's nf=160) dispatches to the Pallas
-    kernel via zero lane-padding and stays exact, value and grad."""
+def test_fused_attention_lane_padded_channels(monkeypatch):
+    """C % 128 != 0 (the AFHQ family's nf=160) lane-pads exactly, value and
+    grad — but the padded path is OPT-IN (PSLD_PAD_ATTN=1): on-chip it
+    measured slower than the einsum fallback (PARITY round-3 §2), so the
+    default dispatch declines odd widths."""
     from psld_tpu.ops.attention import (_pallas_ok, attention_reference,
                                         fused_attention)
     import jax
     import jax.numpy as jnp
     from jax.experimental.pallas import tpu as pltpu
 
+    assert not _pallas_ok(256, 160, jnp.float32)
+    monkeypatch.setenv("PSLD_PAD_ATTN", "1")
     assert _pallas_ok(256, 160, jnp.float32)
     q = jnp.asarray(rand((2, 256, 160), seed=40))
     k = jnp.asarray(rand((2, 256, 160), seed=41))
