@@ -185,14 +185,26 @@ def make_clf_train_step(net, sde, criterion, config,
     optimization, logs loss + top-1 accuracy."""
     train_eps = float(config.clf.training.get("train_eps",
                                               config.diffusion.training.train_eps))
+    # same mixed-precision contract as the score step: bf16 params +
+    # activations inside the network, f32 logits/CE/optimizer
+    bf16 = bool(config.clf.training.get(
+        "bf16", config.diffusion.training.get("bf16", False)))
     from psld_tpu.train.state import make_optimizer
 
     optimizer = make_optimizer(config.clf.training.optimizer)
 
     def loss_fn(params, x, y, t, rng):
+        if bf16:
+            p = jax.tree_util.tree_map(
+                lambda a: a.astype(jnp.bfloat16)
+                if a.dtype == jnp.float32 else a, params)
+        else:
+            p = params
+
         def clf_fn(z, tt):
-            return net.apply(params, z, tt, train=True,
-                             rngs={"dropout": rng})
+            z = z.astype(jnp.bfloat16) if bf16 else z
+            out = net.apply(p, z, tt, train=True, rngs={"dropout": rng})
+            return out.astype(jnp.float32)
 
         return criterion(x, y, t, clf_fn, rng)
 

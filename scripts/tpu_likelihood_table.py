@@ -70,29 +70,42 @@ def main():
     from psld_tpu.eval.likelihood import evaluate_nll
 
     ckpt = latest_ckpt(os.path.join(R3, "score"))
-    # exact trace costs O(D)=2048 reverse passes per RHS eval, and jacrev
-    # vmaps the pullback over the D-identity basis (effective batch
-    # bs x 2048 — HBM-bound) — run it at ONE tiny cell (its role is
-    # calibrating the Hutchinson bias), the Hutchinson rows at the full grid
-    cells = [(25, "exact", 0, 8, 4)]
-    cells += [(n, "hutchinson", p, N, BS)
-              for n in (25, 50, 100) for p in (1, 4)]
-    for n_steps, div, probes, n, bs in cells:
+    # Hutchinson grid first (the table's value); the exact-trace
+    # calibration cells LAST and tiny: exact costs O(D)=6144 chunked
+    # reverse passes per RHS (likelihood.py::_divergence_exact — the
+    # one-shot jacrev form OOMed at 19 GB, and a bs4/rk4/25-step exact
+    # program crashed the tunneled TPU worker mid-dispatch: keep any one
+    # dispatch under ~1 min of device time). euler/10-step at bs1 pairs
+    # exact with same-grid Hutchinson rows so the probe bias is isolated
+    # from the solver error.
+    cells = [("rk4", n, "hutchinson", p, N, BS)
+             for n in (25, 50, 100) for p in (1, 4)]
+    cells += [("euler", 10, "hutchinson", 1, 2, 1),
+              ("euler", 10, "hutchinson", 16, 2, 1),
+              ("euler", 10, "exact", 0, 2, 1)]
+    for solver, n_steps, div, probes, n, bs in cells:
         cfg = compose(DEMO + [
             f"dataset.diffusion.evaluation.chkpt_path={ckpt}",
             "dataset.diffusion.evaluation.sample_from=target",
             f"dataset.diffusion.evaluation.batch_size={bs}",
             f"dataset.diffusion.evaluation.n_samples={n}",
             f"+dataset.diffusion.evaluation.likelihood.n_steps={n_steps}",
-            "+dataset.diffusion.evaluation.likelihood.solver=rk4",
+            f"+dataset.diffusion.evaluation.likelihood.solver={solver}",
             f"+dataset.diffusion.evaluation.likelihood.n_probes={max(probes, 1)}",
             "+dataset.diffusion.evaluation.likelihood.exact_div="
             + ("True" if div == "exact" else "False"),
         ]).dataset.diffusion
         t0 = time.time()
-        bpd = evaluate_nll(cfg)
+        try:
+            bpd = evaluate_nll(cfg)
+        except Exception as e:  # noqa: BLE001 — record failures as data
+            emit({"phase": "likelihood", "n_steps": n_steps,
+                  "solver": solver, "divergence": div, "n_probes": probes,
+                  "n_samples": n, "error": str(e)[:300],
+                  "elapsed_s": round(time.time() - t0, 1)})
+            continue
         emit({"phase": "likelihood", "checkpoint": ckpt,
-              "n_steps": n_steps, "solver": "rk4",
+              "n_steps": n_steps, "solver": solver,
               "divergence": div, "n_probes": probes,
               "n_samples": n, "bits_per_dim": round(float(bpd), 4),
               "elapsed_s": round(time.time() - t0, 1)})

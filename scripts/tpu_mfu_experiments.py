@@ -62,7 +62,8 @@ def emit(rec):
         f.write(line + "\n")
 
 
-def build_step(overrides, bs, bf16=False, scan=False, remat=False, seed=0):
+def build_step(overrides, bs, bf16=False, scan=False, remat=False, seed=0,
+               donate=False):
     from psld_tpu.config import compose
     from psld_tpu.losses import PSLDScoreLoss
     from psld_tpu.train.loop import build_score_model, build_sde
@@ -94,7 +95,7 @@ def build_step(overrides, bs, bf16=False, scan=False, remat=False, seed=0):
             rng.standard_normal(s.shape).astype(s.dtype) * 0.02), shapes)
     n_params = sum(int(np.prod(s.shape)) for s in jax.tree.leaves(shapes))
     step_fn, optimizer = make_train_step(net, sde, criterion, cfg,
-                                         donate=False)
+                                         donate=donate)
     state = init_state(params, optimizer)
     return step_fn, state, size, n_params
 
@@ -227,6 +228,9 @@ def phase_drift():
 def phase_afhq_attn():
     for fallback in (False, True):
         os.environ.pop("PSLD_NO_FUSED_ATTN", None)
+        # the padded kernel lost this comparison, so odd widths now
+        # default to the fallback — force the padded path for its row
+        os.environ["PSLD_PAD_ATTN"] = "1"
         if fallback:
             os.environ["PSLD_NO_FUSED_ATTN"] = "1"
         step_fn, state, size, n_params = build_step(SOTA_AFHQ, 8)
@@ -239,6 +243,35 @@ def phase_afhq_attn():
               "sec_per_step": round(el, 4),
               "img_per_s": round(8 / el, 1)})
     os.environ.pop("PSLD_NO_FUSED_ATTN", None)
+    os.environ.pop("PSLD_PAD_ATTN", None)
+
+
+def phase_bf16_capacity():
+    """Does bf16's halved activation traffic unlock larger no-remat
+    batches? Round-2: f32 bs256 no-remat needs 17.0 GB (OOM on the 16 GB
+    v5e) and only executes with per-block remat + donated buffers at
+    915 ms/step. Measure bf16 at bs {192, 256} without remat (donated
+    buffers, like the round-2 remat row) + the bf16+remat comparator."""
+    flops128 = step_flops("cifar", True, False)
+    for bs, remat in ((192, False), (256, False), (256, True)):
+        try:
+            step_fn, state, size, n_params = build_step(
+                SOTA_CIFAR, bs, bf16=True, remat=remat, donate=True)
+            compile_s, el, _ = timed_steps(step_fn, state, bs, size)
+        except Exception as e:  # noqa: BLE001 — record OOMs as data
+            emit({"phase": "bf16_capacity", "batch": bs, "remat": remat,
+                  "donate": True, "error": str(e)[:300]})
+            continue
+        rec = {"phase": "bf16_capacity", "batch": bs, "remat": remat,
+               "donate": True, "params_m": round(n_params / 1e6, 1),
+               "compile_s": round(compile_s, 1),
+               "sec_per_step": round(el, 4),
+               "img_per_s": round(bs / el, 1)}
+        if flops128:
+            flops = flops128 * bs / 128  # conv/attn flops scale with batch
+            rec["step_tflops"] = round(flops / 1e12, 3)
+            rec["mfu_vs_v5e_bf16_peak"] = round(flops / el / V5E_PEAK, 4)
+        emit(rec)
 
 
 def main():
@@ -255,7 +288,8 @@ def main():
     phases = sys.argv[1:] or ["matrix", "drift", "afhq_attn"]
     for ph in phases:
         {"matrix": phase_matrix, "drift": phase_drift,
-         "afhq_attn": phase_afhq_attn}[ph]()
+         "afhq_attn": phase_afhq_attn,
+         "bf16_capacity": phase_bf16_capacity}[ph]()
     emit({"phase": "mfu_experiments_done"})
 
 

@@ -111,6 +111,12 @@ def test_divergence_estimators_work_through_custom_vjp():
     want = np.sum(2.0 * (1.0 - np.tanh(np.asarray(z)) ** 2), axis=(1, 2, 3))
     got = np.asarray(_divergence_exact(f, z))
     np.testing.assert_allclose(got, want, rtol=1e-10)
+    # chunked trace rows (incl. a ragged 32 % 5 chunk and fully serial)
+    # must agree bit-for-bit in structure with the one-shot path
+    for chunk in (5, 1):
+        np.testing.assert_allclose(
+            np.asarray(_divergence_exact(f, z, row_chunk=chunk)), want,
+            rtol=1e-10)
 
     probes = jnp.asarray(
         2.0 * jax.random.bernoulli(

@@ -223,6 +223,54 @@ def test_clf_loop_steps_per_dispatch_e2e(tmp_path):
     assert glob.glob(f"{results}/checkpoints/clf-*")
 
 
+def test_clf_bf16_train_step(tmp_path):
+    """training.bf16 reaches the classifier step too: bf16 convolutions in
+    the compiled HLO, f32 master weights, loss tracking the f32 step."""
+    from psld_tpu.config import compose
+    from psld_tpu.registry import get_module
+    from psld_tpu.train.loop import build_sde
+    from psld_tpu.train.steps import make_clf_train_step
+
+    losses = {}
+    for bf16 in (False, True):
+        cfg = compose([
+            "+dataset=cifar10/cifar10_psld",
+            f"dataset.clf.data.root={tmp_path}",
+            "dataset.clf.data.image_size=16",
+            "dataset.clf.model.clf_fn.nf=8",
+            "dataset.clf.model.clf_fn.ch_mult=[1,2]",
+            "dataset.clf.model.clf_fn.num_res_blocks=1",
+            "dataset.clf.model.clf_fn.attn_resolutions=[8]",
+            "dataset.clf.model.clf_fn.n_cls=10",
+            f"+dataset.clf.training.bf16={bf16}",
+        ]).dataset
+        clf_cls = get_module("clf_fn", cfg.clf.model.clf_fn.name)
+        net = clf_cls.from_config(cfg.clf)
+        sde = build_sde(cfg.diffusion)
+        criterion = get_module("losses", cfg.clf.training.loss.name)(cfg,
+                                                                     sde)
+        params = net.init(jax.random.PRNGKey(1),
+                          jnp.zeros((1, 16, 16, 6), jnp.float32),
+                          jnp.full((1,), 0.5, jnp.float32))
+        step, optimizer = make_clf_train_step(net, sde, criterion, cfg,
+                                              donate=False)
+        from psld_tpu.train.state import init_state as _init
+        state = _init(params, optimizer)
+        x = jnp.asarray(np.random.default_rng(5).standard_normal(
+            (4, 16, 16, 3)), jnp.float32)
+        y = jnp.asarray([0, 1, 2, 3], jnp.int32)
+        if bf16:
+            hlo = jax.jit(step).lower(
+                state, x, y, jax.random.PRNGKey(3)).as_text()
+            assert "bf16" in hlo and "convolution" in hlo
+        state, metrics = step(state, x, y, jax.random.PRNGKey(3))
+        assert all(p.dtype == jnp.float32
+                   for p in jax.tree.leaves(state.params))
+        losses[bf16] = float(metrics["loss"])
+        assert np.isfinite(losses[bf16])
+    np.testing.assert_allclose(losses[True], losses[False], rtol=0.05)
+
+
 def test_clf_loop_restore_latest(tmp_path):
     """restore_path=latest works for the classifier loop too: fresh start
     when no checkpoint exists, then relaunch-the-same-command resume
