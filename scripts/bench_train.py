@@ -58,30 +58,35 @@ def main():
         shapes,
     )
 
-    step_fn, optimizer = make_train_step(net, sde, criterion, cfg,
-                                         donate=False)
-
-    for bs in (16, 64, 128):
-        state = init_state(params, optimizer)
-        batch = jax.random.normal(jax.random.PRNGKey(1), (bs, 32, 32, 3),
-                                  jnp.float32)
-        state, metrics = step_fn(state, batch, jax.random.PRNGKey(2))
-        # fetch a scalar to force execution: on tunneled runtimes
-        # block_until_ready can return before execution finishes
-        float(metrics["loss"])
-        n_iters = 5
-        t_start = time.time()
-        for i in range(n_iters):
-            state, metrics = step_fn(state, batch, jax.random.PRNGKey(3 + i))
-        # the final loss depends on the chained state -> all steps ran
-        float(metrics["loss"])
-        el = (time.time() - t_start) / n_iters
-        print(json.dumps({
-            "metric": "train step",
-            "batch": bs,
-            "sec_per_step": round(el, 4),
-            "img_per_sec": round(bs / el, 2),
-        }), flush=True)
+    # bf16 mixed precision measured +26% step throughput at <=1e-4 loss
+    # drift (PARITY round-3 section 2) — bench both precisions
+    for bf16 in (False, True):
+        cfg.training["bf16"] = bf16
+        step_fn, optimizer = make_train_step(net, sde, criterion, cfg,
+                                             donate=False)
+        for bs in (16, 64, 128):
+            state = init_state(params, optimizer)
+            batch = jax.random.normal(jax.random.PRNGKey(1),
+                                      (bs, 32, 32, 3), jnp.float32)
+            state, metrics = step_fn(state, batch, jax.random.PRNGKey(2))
+            # fetch a scalar to force execution: on tunneled runtimes
+            # block_until_ready can return before execution finishes
+            float(metrics["loss"])
+            n_iters = 5
+            t_start = time.time()
+            for i in range(n_iters):
+                state, metrics = step_fn(state, batch,
+                                         jax.random.PRNGKey(3 + i))
+            # the final loss depends on the chained state -> all steps ran
+            float(metrics["loss"])
+            el = (time.time() - t_start) / n_iters
+            print(json.dumps({
+                "metric": "train step",
+                "bf16": bf16,
+                "batch": bs,
+                "sec_per_step": round(el, 4),
+                "img_per_sec": round(bs / el, 2),
+            }), flush=True)
 
 
 if __name__ == "__main__":
