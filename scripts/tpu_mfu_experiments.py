@@ -274,6 +274,29 @@ def phase_bf16_capacity():
         emit(rec)
 
 
+def phase_prng():
+    """Is dropout's threefry RNG a measurable slice of the bf16 step?
+    Rows: the bf16 bs128 baseline re-measured in this process, dropout=0
+    (no RNG, no mask traffic), and — when launched with
+    JAX_DEFAULT_PRNG_IMPL=rbg (env must precede jax import; use the
+    `prng_rbg` phase alias in a fresh process) — the cheaper hardware RNG
+    at dropout=0.15."""
+    import jax
+
+    impl = str(jax.config.jax_default_prng_impl)
+    for dropout in (0.15, 0.0) if impl == "threefry2x32" else (0.15,):
+        ovr = SOTA_CIFAR + [
+            f"dataset.diffusion.model.score_fn.dropout={dropout}"]
+        step_fn, state, size, n_params = build_step(ovr, 128, bf16=True)
+        compile_s, el, _ = timed_steps(step_fn, state, 128, size)
+        emit({"phase": "prng", "prng_impl": impl, "dropout": dropout,
+              "bf16": True, "batch": 128,
+              "params_m": round(n_params / 1e6, 1),
+              "compile_s": round(compile_s, 1),
+              "sec_per_step": round(el, 4),
+              "img_per_s": round(128 / el, 1)})
+
+
 def main():
     spec = os.environ.get("PSLD_MFU_COST_ONLY")
     if spec:
@@ -289,7 +312,8 @@ def main():
     for ph in phases:
         {"matrix": phase_matrix, "drift": phase_drift,
          "afhq_attn": phase_afhq_attn,
-         "bf16_capacity": phase_bf16_capacity}[ph]()
+         "bf16_capacity": phase_bf16_capacity,
+         "prng": phase_prng, "prng_rbg": phase_prng}[ph]()
     emit({"phase": "mfu_experiments_done"})
 
 
