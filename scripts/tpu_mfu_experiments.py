@@ -290,11 +290,43 @@ def phase_prng():
         step_fn, state, size, n_params = build_step(ovr, 128, bf16=True)
         compile_s, el, _ = timed_steps(step_fn, state, 128, size)
         emit({"phase": "prng", "prng_impl": impl, "dropout": dropout,
+              "dropout_impl": ("remat"
+                               if os.environ.get("PSLD_DROPOUT_REMAT")
+                               == "1" else "save_mask"),
               "bf16": True, "batch": 128,
               "params_m": round(n_params / 1e6, 1),
               "compile_s": round(compile_s, 1),
               "sec_per_step": round(el, 4),
               "img_per_s": round(128 / el, 1)})
+
+
+def phase_dropout_impl():
+    """RematDropout (regenerate mask in backward) vs stock nn.Dropout vs
+    no dropout, bf16 bs128, donated buffers (the remat variant OOMed HBM
+    at donate=False — the checkpoint saves a 2-byte activation where the
+    stock path saves a 1-byte mask)."""
+    cells = [("save_mask", 0.15), ("remat", 0.15), ("save_mask", 0.0)]
+    for impl, dropout in cells:
+        os.environ.pop("PSLD_DROPOUT_REMAT", None)
+        if impl == "remat":
+            os.environ["PSLD_DROPOUT_REMAT"] = "1"
+        ovr = SOTA_CIFAR + [
+            f"dataset.diffusion.model.score_fn.dropout={dropout}"]
+        try:
+            step_fn, state, size, n_params = build_step(ovr, 128, bf16=True,
+                                                        donate=True)
+            compile_s, el, _ = timed_steps(step_fn, state, 128, size)
+        except Exception as e:  # noqa: BLE001 — record OOMs as data
+            emit({"phase": "dropout_impl", "dropout_impl": impl,
+                  "dropout": dropout, "bf16": True, "batch": 128,
+                  "donate": True, "error": str(e)[:300]})
+            continue
+        emit({"phase": "dropout_impl", "dropout_impl": impl,
+              "dropout": dropout, "bf16": True, "batch": 128,
+              "donate": True, "compile_s": round(compile_s, 1),
+              "sec_per_step": round(el, 4),
+              "img_per_s": round(128 / el, 1)})
+    os.environ.pop("PSLD_DROPOUT_REMAT", None)
 
 
 def main():
@@ -313,7 +345,8 @@ def main():
         {"matrix": phase_matrix, "drift": phase_drift,
          "afhq_attn": phase_afhq_attn,
          "bf16_capacity": phase_bf16_capacity,
-         "prng": phase_prng, "prng_rbg": phase_prng}[ph]()
+         "prng": phase_prng, "prng_rbg": phase_prng,
+         "dropout_impl": phase_dropout_impl}[ph]()
     emit({"phase": "mfu_experiments_done"})
 
 

@@ -223,6 +223,43 @@ def test_clf_loop_steps_per_dispatch_e2e(tmp_path):
     assert glob.glob(f"{results}/checkpoints/clf-*")
 
 
+def test_remat_dropout_bit_identical(monkeypatch):
+    """RematDropout (opt-in PSLD_DROPOUT_REMAT=1; measured slower
+    on-chip, kept as the documented negative result) is bit-identical to
+    stock nn.Dropout in value AND gradient — same rng path (both name
+    their module Dropout_0), same bernoulli, same select; jax.checkpoint
+    only changes what autodiff saves."""
+    cfg, sde, net, criterion, params = tiny_setup()
+    cfg.model.score_fn["dropout"] = 0.5  # make any mask mismatch loud
+    from psld_tpu.models.ncsnpp import NCSNpp
+
+    x = jax.random.normal(jax.random.PRNGKey(7), (4, 8, 8, 6), jnp.float32)
+    t = jnp.full((4,), 0.4, jnp.float32)
+
+    outs, grads = {}, {}
+    for remat in (True, False):
+        if remat:
+            monkeypatch.setenv("PSLD_DROPOUT_REMAT", "1")
+        else:
+            monkeypatch.delenv("PSLD_DROPOUT_REMAT", raising=False)
+        net_d = NCSNpp.from_config(cfg)
+        p = net_d.init({"params": jax.random.PRNGKey(1),
+                        "dropout": jax.random.PRNGKey(2)}, x, t, train=True)
+
+        def loss(p):
+            out = net_d.apply(p, x, t, train=True,
+                              rngs={"dropout": jax.random.PRNGKey(9)})
+            return jnp.sum(out ** 2)
+
+        outs[remat] = np.asarray(net_d.apply(
+            p, x, t, train=True, rngs={"dropout": jax.random.PRNGKey(9)}))
+        grads[remat] = jax.tree.leaves(jax.grad(loss)(p))
+
+    np.testing.assert_array_equal(outs[False], outs[True])
+    for a, b in zip(grads[False], grads[True]):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_clf_bf16_train_step(tmp_path):
     """training.bf16 reaches the classifier step too: bf16 convolutions in
     the compiled HLO, f32 master weights, loss tracking the f32 step."""
