@@ -329,6 +329,37 @@ def phase_dropout_impl():
     os.environ.pop("PSLD_DROPOUT_REMAT", None)
 
 
+SOTA_HQ256 = [
+    "+dataset=celebahq/celebahq256_psld",
+    "dataset.diffusion.data.root='/tmp'",
+]
+
+
+def phase_hires_bf16():
+    """Does bf16 pay MORE at 256px, where the step is HBM-bound?
+    (celebahq256 sampling measured 19-27% MFU — bandwidth-roofed; bf16
+    halves activation traffic, so training should gain more than the
+    MXU-bound 32px case's 26%.) f32 vs bf16 at bs2/chip, with per-block
+    remat (the 256px training default) and donated buffers."""
+    for bf16 in (False, True):
+        try:
+            step_fn, state, size, n_params = build_step(
+                SOTA_HQ256, 2, bf16=bf16, remat=True, donate=True)
+            compile_s, el, _ = timed_steps(step_fn, state, 2, size,
+                                           n_iters=5)
+        except Exception as e:  # noqa: BLE001 — record OOMs as data
+            emit({"phase": "hires_bf16", "bf16": bf16, "batch": 2,
+                  "image_size": 256, "remat": True, "donate": True,
+                  "error": str(e)[:300]})
+            continue
+        emit({"phase": "hires_bf16", "bf16": bf16, "batch": 2,
+              "image_size": 256, "remat": True, "donate": True,
+              "params_m": round(n_params / 1e6, 1),
+              "compile_s": round(compile_s, 1),
+              "sec_per_step": round(el, 4),
+              "img_per_s": round(2 / el, 2)})
+
+
 def main():
     spec = os.environ.get("PSLD_MFU_COST_ONLY")
     if spec:
@@ -346,7 +377,8 @@ def main():
          "afhq_attn": phase_afhq_attn,
          "bf16_capacity": phase_bf16_capacity,
          "prng": phase_prng, "prng_rbg": phase_prng,
-         "dropout_impl": phase_dropout_impl}[ph]()
+         "dropout_impl": phase_dropout_impl,
+         "hires_bf16": phase_hires_bf16}[ph]()
     emit({"phase": "mfu_experiments_done"})
 
 
