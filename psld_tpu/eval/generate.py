@@ -59,8 +59,24 @@ def load_eval_state(config, net=None):
     return net, (state.ema_params if use_ema else state.params)
 
 
-def make_score_fn(net, params):
-    return lambda z, t: net.apply(params, z, t)
+def eval_bf16(config) -> bool:
+    """``evaluation.bf16``: bfloat16 inference for the samplers. The SDE
+    transition math stays f32/f64 — only the network runs bf16."""
+    return bool(config.evaluation.get("bf16", False))
+
+
+def make_score_fn(net, params, bf16: bool = False):
+    """Inference score function; ``bf16=True`` casts params + input to
+    bfloat16 at the network boundary (f32 output for the SDE math).
+    Neutral at 32px (the forward is MXU-bound there; measured round 2),
+    wired for the HBM-bound high-res regime via ``evaluation.bf16``."""
+    if not bf16:
+        return lambda z, t: net.apply(params, z, t)
+    p16 = jax.tree_util.tree_map(
+        lambda a: a.astype(jnp.bfloat16)
+        if a.dtype == jnp.float32 else a, params)
+    return lambda z, t: net.apply(
+        p16, z.astype(jnp.bfloat16), t).astype(jnp.float32)
 
 
 def _rank_info(config):
@@ -330,7 +346,7 @@ def sample(config, preloaded=None, jit_cache=None):
     sampler_cls = get_module("samplers", str(config.evaluation.sampler.name))
 
     def sampler_factory(p):
-        score_fn = make_score_fn(net, p)
+        score_fn = make_score_fn(net, p, bf16=eval_bf16(config))
         return sampler_cls(config, sde, score_fn,
                            corrector_fn=build_corrector(config, sde,
                                                         score_fn))
@@ -374,9 +390,11 @@ def class_cond_sample(config):
 
     def sampler_factory(triple):
         score_p, clf_p, y = triple
-        score_fn = make_score_fn(net, score_p)
+        score_fn = make_score_fn(net, score_p, bf16=eval_bf16(merged))
         return sampler_cls(merged, sde, score_fn,
-                           clf_fn=make_score_fn(clf_net, clf_p), y=y,
+                           clf_fn=make_score_fn(clf_net, clf_p,
+                                                bf16=eval_bf16(merged)),
+                           y=y,
                            corrector_fn=build_corrector(merged, sde,
                                                         score_fn))
 
@@ -468,7 +486,7 @@ def edit(config):
     sampler_cls = get_module("samplers", "edit_em_sde")
 
     def sampler_factory(p):
-        score_fn = make_score_fn(net, p)
+        score_fn = make_score_fn(net, p, bf16=eval_bf16(config))
         return sampler_cls(config, sde, score_fn,
                            corrector_fn=build_corrector(config, sde,
                                                         score_fn))
@@ -502,7 +520,8 @@ def inpaint(config):
     sampler_cls = get_module("samplers", "ip_em_sde")
 
     def sampler_factory(p):
-        return sampler_cls(config, sde, make_score_fn(net, p))
+        return sampler_cls(config, sde,
+                           make_score_fn(net, p, bf16=eval_bf16(config)))
 
     writer = InpaintingImageWriter(
         str(config.evaluation.save_path),

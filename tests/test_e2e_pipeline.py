@@ -90,6 +90,30 @@ def test_sample_from_checkpoint(trained, workdir):
     assert img.shape == (16, 16, 3)
 
 
+def test_sample_bf16_inference(trained, workdir):
+    """evaluation.bf16=True runs the sampler with a bf16 network (f32 SDE
+    math) end-to-end and writes valid PNGs."""
+    from psld_tpu.eval.generate import sample
+    from psld_tpu.config import compose
+
+    results, ckpt_path, argv = trained
+    save = str(workdir / "samples_bf16")
+    cfg = compose(argv + [
+        f"dataset.diffusion.evaluation.chkpt_path={ckpt_path}",
+        f"dataset.diffusion.evaluation.save_path={save}",
+        "+dataset.diffusion.evaluation.bf16=True",
+    ])
+    n = sample(cfg.dataset.diffusion)
+    assert n == 8
+    pngs = glob.glob(f"{save}/images/*.png")
+    assert len(pngs) == 8, pngs
+    from PIL import Image
+
+    img = np.asarray(Image.open(pngs[0]))
+    assert img.shape == (16, 16, 3)
+    assert img.std() > 0  # not a constant/NaN-squashed image
+
+
 def test_sample_rk_ode(trained, workdir):
     from psld_tpu.eval.generate import sample
     from psld_tpu.config import compose
