@@ -160,9 +160,21 @@ def main():
             n_eff = nfe - 1
             ts = make_timesteps(n_eff, 1e-3)
 
+            # PSLD_RS_BF16=1: bf16 network (params + activations), f32
+            # SDE math — same contract as evaluation.bf16
+            bf16 = os.environ.get("PSLD_RS_BF16", "0") == "1"
+
             def run(params, k, z):
-                s = sampler_cls(
-                    cfg, sde, lambda zz, tt: net.apply(params, zz, tt))
+                if bf16:
+                    p16 = jax.tree_util.tree_map(
+                        lambda a: a.astype(jnp.bfloat16)
+                        if a.dtype == jnp.float32 else a, params)
+                    score = lambda zz, tt: net.apply(
+                        p16, zz.astype(jnp.bfloat16), tt
+                    ).astype(jnp.float32)
+                else:
+                    score = lambda zz, tt: net.apply(params, zz, tt)
+                s = sampler_cls(cfg, sde, score)
                 return s.sample(k, z, ts, n_eff, denoise=True, eps=1e-3)
 
             sample = jax.jit(run)
@@ -176,6 +188,7 @@ def main():
             el = time.time() - t0_
             rec = {
                 "case": case, "image_size": size, "batch": batch,
+                "bf16": bf16,
                 "nfe": nfe, "params_m": round(n_params / 1e6, 1),
                 "img_per_s": round(batch / el, 4),
                 "sec_per_nfe_step": round(el / nfe, 5),
