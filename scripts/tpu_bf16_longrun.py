@@ -111,7 +111,9 @@ def main():
     t0 = time.time()
     sample(scfg)
     sample_s = time.time() - t0
-    img_dir = glob.glob(f"{OUT}/samples_bf16/*/images")[0]
+    # eval.generate.sample writes {save_path}/[path_prefix/]images
+    img_dir = (glob.glob(f"{OUT}/samples_bf16/images")
+               + glob.glob(f"{OUT}/samples_bf16/*/images"))[0]
 
     from psld_tpu.utils.images import load_images_rgb
 
