@@ -138,9 +138,18 @@ def run_bench(batch: int | None = None, nfe: int | None = None) -> dict:
 
     # params must be a jit ARGUMENT: closing over them would bake ~390MB of
     # constants into the XLA program
+    bf16 = os.environ.get("PSLD_BENCH_BF16", "0") == "1"
+
     def run(params, k, z):
-        sampler = sampler_cls(
-            cfg, sde, lambda zz, tt: net.apply(params, zz, tt))
+        if bf16:
+            p16 = jax.tree_util.tree_map(
+                lambda a: a.astype(jnp.bfloat16)
+                if a.dtype == jnp.float32 else a, params)
+            score = lambda zz, tt: net.apply(
+                p16, zz.astype(jnp.bfloat16), tt).astype(jnp.float32)
+        else:
+            score = lambda zz, tt: net.apply(params, zz, tt)
+        sampler = sampler_cls(cfg, sde, score)
         return sampler.sample(k, z, ts, n_eff, denoise=True, eps=1e-3)
 
     sample = jax.jit(run)
