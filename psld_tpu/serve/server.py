@@ -100,8 +100,9 @@ class SamplerService:
 
         def _run(params, k, z):
             from psld_tpu.samplers.correctors import build_corrector
+            from psld_tpu.eval.generate import eval_bf16
 
-            score_fn = make_score_fn(net, params)
+            score_fn = make_score_fn(net, params, bf16=eval_bf16(config))
             s = sampler_cls(config, self.sde, score_fn,
                             corrector_fn=build_corrector(config, self.sde,
                                                          score_fn))
