@@ -199,6 +199,10 @@ def main():
                 rec["mfu_vs_v5e_bf16_peak"] = round(
                     flops * nfe / el / v5e_peak, 4)
             print(json.dumps(rec), flush=True)
+            with open(os.path.join(
+                    os.path.dirname(os.path.abspath(__file__)),
+                    "results_res_scaling.jsonl"), "a") as f:
+                f.write(json.dumps(rec) + "\n")
 
 
 if __name__ == "__main__":
