@@ -9,4 +9,5 @@ python -m psld_tpu.cli.sample +dataset=celebahq/celebahq256_psld \
     dataset.diffusion.evaluation.n_samples=50000 \
     dataset.diffusion.evaluation.batch_size=8 \
     dataset.diffusion.evaluation.n_discrete_steps=1000 \
-    +dataset.diffusion.evaluation.spatial=2
+    +dataset.diffusion.evaluation.spatial=2 \
+    +dataset.diffusion.evaluation.bf16=true
