@@ -96,7 +96,13 @@ def main():
     from psld_tpu.train.loop import build_clf_model, build_sde
     from psld_tpu.train.state import init_state, make_optimizer
 
-    score_ckpt = latest_ckpt(os.path.join(R3, "score"))
+    # PSLD_STEER_SCORE picks the score checkpoint dir (default the 16k
+    # f32 demo; "score_bf16" = the 30k bf16-trained run); PSLD_STEER_BF16=1
+    # runs score+guidance networks in bf16 (the evaluation.bf16 contract) —
+    # the VERDICT classifier stays f32 so the measurement itself is
+    # precision-independent
+    score_ckpt = latest_ckpt(os.path.join(
+        R3, os.environ.get("PSLD_STEER_SCORE", "score")))
     clf_ckpt = latest_ckpt(os.path.join(R3, "clf"))
     cfg = compose(DEMO + [
         f"dataset.diffusion.evaluation.chkpt_path={score_ckpt}",
@@ -108,16 +114,19 @@ def main():
     ]).dataset
     dcfg = cfg.diffusion
 
+    steer_bf16 = os.environ.get("PSLD_STEER_BF16", "0") == "1"
     sde = build_sde(dcfg)
     net, params = load_eval_state(dcfg)
-    score_fn = make_score_fn(net, params)
+    score_fn = make_score_fn(net, params, bf16=steer_bf16)
 
     clf_net, clf_params_init = build_clf_model(cfg.clf)
     clf_state = ckpt.restore_checkpoint(
         str(cfg.clf.evaluation.chkpt_path),
         init_state(clf_params_init,
                    make_optimizer(cfg.clf.training.optimizer)))
-    clf_fn = make_score_fn(clf_net, clf_state.params)
+    clf_fn = make_score_fn(clf_net, clf_state.params)  # f32 verdict
+    clf_guide_fn = make_score_fn(clf_net, clf_state.params,
+                                 bf16=steer_bf16)
 
     # merged eval view the guided samplers read clf_temp etc. from
     from psld_tpu.eval.generate import _merged_eval_config
@@ -147,7 +156,8 @@ def main():
                 f"dataset.clf.evaluation.clf_temp={temp}",
             ]).dataset
             merged = _merged_eval_config(mcfg)
-            sampler = sampler_cls(merged, sde, score_fn, clf_fn=clf_fn,
+            sampler = sampler_cls(merged, sde, score_fn,
+                                  clf_fn=clf_guide_fn,
                                   y=TARGET)
             for nfe in NFES:
                 ts = make_timesteps(nfe, eps, sde.T,
@@ -161,6 +171,9 @@ def main():
                 pred = np.asarray(pred)
                 el = time.time() - t0
                 emit({"phase": "steering", "sampler": name, "nfe": nfe,
+                      "bf16": steer_bf16,
+                      "score_dir": os.environ.get("PSLD_STEER_SCORE",
+                                                  "score"),
                       "clf_temp": temp, "n": N, "label": TARGET,
                       "top1_rate": round(float(np.mean(pred == TARGET)), 4),
                       "pred_hist": np.bincount(pred, minlength=10).tolist(),
