@@ -360,6 +360,58 @@ def phase_hires_bf16():
               "img_per_s": round(2 / el, 2)})
 
 
+def phase_spd():
+    """Production step time: the matrix rows dispatch one step at a time,
+    paying the tunnel round-trip per step. steps_per_dispatch=8 (the
+    production setting, CLAUDE.md) folds 8 steps into one program —
+    measure the per-step wall under it to separate device time from
+    dispatch latency."""
+    import jax
+    import jax.numpy as jnp
+
+    from psld_tpu.config import compose
+    from psld_tpu.losses import PSLDScoreLoss
+    from psld_tpu.train.loop import build_score_model, build_sde
+    from psld_tpu.train.state import init_state
+    from psld_tpu.train.steps import make_multi_train_step
+
+    import numpy as np
+
+    spd = 8
+    ovr = SOTA_CIFAR + ["+dataset.diffusion.training.bf16=True"]
+    cfg = compose(ovr).dataset.diffusion
+    sde = build_sde(cfg)
+    net = build_score_model(cfg)
+    criterion = PSLDScoreLoss(cfg, sde)
+    x0 = jnp.zeros((1, 32, 32, 6), jnp.float32)
+    t0 = jnp.full((1,), 0.5, jnp.float32)
+    shapes = jax.eval_shape(net.init, jax.random.PRNGKey(0), x0, t0)
+    rng = np.random.default_rng(0)
+    params = jax.tree_util.tree_map(
+        lambda s: jnp.asarray(
+            rng.standard_normal(s.shape).astype(s.dtype) * 0.02), shapes)
+    step_fn, optimizer = make_multi_train_step(net, sde, criterion, cfg,
+                                               spd, donate=False)
+    state = init_state(params, optimizer)
+    batches = jax.random.normal(jax.random.PRNGKey(1),
+                                (spd, 128, 32, 32, 3), jnp.float32)
+    t_c = time.time()
+    state, metrics = step_fn(state, batches, jax.random.PRNGKey(2))
+    float(metrics["loss"][-1])
+    compile_s = time.time() - t_c
+    n_disp = 5
+    t_s = time.time()
+    for i in range(n_disp):
+        state, metrics = step_fn(state, batches, jax.random.PRNGKey(3 + i))
+    float(metrics["loss"][-1])
+    el = (time.time() - t_s) / (n_disp * spd)
+    emit({"phase": "spd", "bf16": True, "batch": 128,
+          "steps_per_dispatch": spd,
+          "compile_s": round(compile_s, 1),
+          "sec_per_step": round(el, 4),
+          "img_per_s": round(128 / el, 1)})
+
+
 def main():
     spec = os.environ.get("PSLD_MFU_COST_ONLY")
     if spec:
@@ -378,7 +430,8 @@ def main():
          "bf16_capacity": phase_bf16_capacity,
          "prng": phase_prng, "prng_rbg": phase_prng,
          "dropout_impl": phase_dropout_impl,
-         "hires_bf16": phase_hires_bf16}[ph]()
+         "hires_bf16": phase_hires_bf16,
+         "spd": phase_spd}[ph]()
     emit({"phase": "mfu_experiments_done"})
 
 
