@@ -70,12 +70,45 @@ class RematDropout(nn.Module):
         return apply(rng, x)
 
 
+class HWDropout(nn.Module):
+    """Dropout via the Pallas hardware-PRNG kernel (``ops.dropout``).
+
+    Statistically equivalent to ``nn.Dropout`` (inverted 1/keep scaling,
+    same ``make_rng('dropout')`` stream feeding the seed) but the mask
+    comes from the TPU core PRNG and is REGENERATED in the backward pass
+    instead of saved — no activation-sized residual reaches HBM. Not
+    bit-identical to the threefry masks, so it ships opt-in
+    (``PSLD_DROPOUT_PALLAS=1``); see ``ops/dropout.py`` for the traffic
+    accounting and PARITY round-3 §2 for the measurements.
+    """
+
+    rate: float
+    deterministic: bool
+
+    @nn.compact
+    def __call__(self, x):
+        from psld_tpu.ops import hw_dropout
+
+        if self.deterministic or self.rate == 0.0:
+            return x
+        if self.rate == 1.0:
+            return jnp.zeros_like(x)
+        rng = self.make_rng("dropout")
+        seed = jax.random.key_data(rng).reshape(-1).astype(jnp.uint32)
+        return hw_dropout(x, seed, float(self.rate))
+
+
 def dropout_layer(h, rate: float, train: bool):
     """Dropout dispatch for the resblocks: stock ``nn.Dropout`` by
     default; the measured-slower recompute-in-backward variant under
-    ``PSLD_DROPOUT_REMAT=1`` (see :class:`RematDropout`). Both branches
-    produce the module path ``Dropout_0``, so rng streams, parameters
-    (none), and checkpoints are interchangeable."""
+    ``PSLD_DROPOUT_REMAT=1`` (see :class:`RematDropout`); the Pallas
+    hardware-PRNG regenerating kernel under ``PSLD_DROPOUT_PALLAS=1``
+    (see :class:`HWDropout`). All branches produce the module path
+    ``Dropout_0``, so rng streams, parameters (none), and checkpoints
+    are interchangeable."""
+    if os.environ.get("PSLD_DROPOUT_PALLAS") == "1":
+        return HWDropout(rate, deterministic=not train,
+                         name="Dropout_0")(h)
     if os.environ.get("PSLD_DROPOUT_REMAT") == "1":
         return RematDropout(rate, deterministic=not train,
                             name="Dropout_0")(h)

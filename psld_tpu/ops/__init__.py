@@ -9,3 +9,4 @@ from psld_tpu.ops.upfirdn import (  # noqa: F401
     upsample_conv_2d,
 )
 from psld_tpu.ops.fused_act import fused_leaky_relu  # noqa: F401
+from psld_tpu.ops.dropout import hw_dropout  # noqa: F401

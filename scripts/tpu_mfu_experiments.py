@@ -329,6 +329,82 @@ def phase_dropout_impl():
     os.environ.pop("PSLD_DROPOUT_REMAT", None)
 
 
+def phase_dropout_pallas():
+    """HWDropout (Pallas hardware-PRNG kernel, mask regenerated in the
+    backward — ops/dropout.py) vs stock nn.Dropout, bf16 bs128, donated.
+    Unlike the refuted jax.checkpoint variant, the Pallas backward reads
+    ONLY the cotangent: per site the mask residual's HBM write+read
+    disappears. First validates the kernel's fwd/bwd mask identity and
+    drop statistics on-chip, then microbenchmarks the op alone, then the
+    full-step A/B."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from psld_tpu.ops.dropout import hw_dropout
+
+    # --- kernel validation on the real chip ---
+    x = jnp.ones((2048, 128), jnp.bfloat16)
+    seed = jax.random.key_data(jax.random.PRNGKey(5)).reshape(-1).astype(
+        jnp.uint32)
+    y = hw_dropout(x, seed, 0.15, True)
+    g = jax.grad(lambda h: hw_dropout(
+        h, seed, 0.15, True).astype(jnp.float32).sum())(x)
+    ya, ga = np.asarray(y, np.float32), np.asarray(g, np.float32)
+    drop_frac = float((ya == 0).mean())
+    mask_match = bool(((ya == 0) == (ga == 0)).all())
+    det = bool((np.asarray(hw_dropout(x, seed, 0.15, True), np.float32)
+                == ya).all())
+    emit({"phase": "dropout_pallas", "cell": "kernel_validate",
+          "drop_frac": round(drop_frac, 4), "fwd_bwd_mask_match":
+          mask_match, "deterministic": det})
+    assert mask_match and det and abs(drop_frac - 0.15) < 0.02
+
+    # --- op microbench: value+grad of dropout alone on a resblock-sized
+    # activation (bs128 x 32 x 32 x 256 bf16), pallas vs stock select ---
+    h = jax.random.normal(jax.random.PRNGKey(0),
+                          (128, 32, 32, 256)).astype(jnp.bfloat16)
+
+    def stock(h, key):
+        keep = jax.random.bernoulli(key, 0.85, h.shape)
+        out = jnp.where(keep, h / 0.85, 0)
+        return (out.astype(jnp.float32) ** 2).sum()
+
+    def pallas(h, seed):
+        out = hw_dropout(h, seed, 0.15, True)
+        return (out.astype(jnp.float32) ** 2).sum()
+
+    key = jax.random.PRNGKey(9)
+    for name, fn, arg in (("stock", stock, key), ("pallas", pallas, seed)):
+        f = jax.jit(jax.value_and_grad(fn))
+        float(f(h, arg)[0])
+        t0 = time.time()
+        for _ in range(30):
+            v, _ = f(h, arg)
+        float(v)
+        us = (time.time() - t0) / 30 * 1e6
+        emit({"phase": "dropout_pallas", "cell": f"microbench_{name}",
+              "value_and_grad_us": round(us, 1),
+              "shape": "128x32x32x256_bf16"})
+
+    # --- full flagship step A/B (in-session baseline; ~10% session
+    # spread makes cross-session comparison unreliable) ---
+    for impl in ("save_mask", "pallas"):
+        os.environ.pop("PSLD_DROPOUT_PALLAS", None)
+        if impl == "pallas":
+            os.environ["PSLD_DROPOUT_PALLAS"] = "1"
+        step_fn, state, size, n_params = build_step(SOTA_CIFAR, 128,
+                                                    bf16=True, donate=True)
+        compile_s, el, _ = timed_steps(step_fn, state, 128, size)
+        emit({"phase": "dropout_pallas", "cell": f"step_{impl}",
+              "dropout": 0.15, "bf16": True, "batch": 128, "donate": True,
+              "params_m": round(n_params / 1e6, 1),
+              "compile_s": round(compile_s, 1),
+              "sec_per_step": round(el, 4),
+              "img_per_s": round(128 / el, 1)})
+    os.environ.pop("PSLD_DROPOUT_PALLAS", None)
+
+
 SOTA_HQ256 = [
     "+dataset=celebahq/celebahq256_psld",
     "dataset.diffusion.data.root='/tmp'",
@@ -430,6 +506,7 @@ def main():
          "bf16_capacity": phase_bf16_capacity,
          "prng": phase_prng, "prng_rbg": phase_prng,
          "dropout_impl": phase_dropout_impl,
+         "dropout_pallas": phase_dropout_pallas,
          "hires_bf16": phase_hires_bf16,
          "spd": phase_spd}[ph]()
     emit({"phase": "mfu_experiments_done"})
