@@ -71,15 +71,15 @@ class RematDropout(nn.Module):
 
 
 class HWDropout(nn.Module):
-    """Dropout via the Pallas hardware-PRNG kernel (``ops.dropout``).
+    """Dropout via the Pallas counter-hash kernel (``ops.dropout``).
 
     Statistically equivalent to ``nn.Dropout`` (inverted 1/keep scaling,
-    same ``make_rng('dropout')`` stream feeding the seed) but the mask
-    comes from the TPU core PRNG and is REGENERATED in the backward pass
-    instead of saved — no activation-sized residual reaches HBM. Not
-    bit-identical to the threefry masks, so it ships opt-in
-    (``PSLD_DROPOUT_PALLAS=1``); see ``ops/dropout.py`` for the traffic
-    accounting and PARITY round-3 §2 for the measurements.
+    same ``make_rng('dropout')`` stream feeding the seed) but the mask is
+    a counter hash of (key, global position) REGENERATED in the backward
+    pass instead of saved — no activation-sized residual reaches HBM. Not
+    bit-identical to the threefry masks, so it is a distinct impl
+    (``dropout_impl=hw``); see ``ops/dropout.py`` for the traffic
+    accounting and PARITY round-3/4 for the measurements.
     """
 
     rate: float
@@ -98,18 +98,48 @@ class HWDropout(nn.Module):
         return hw_dropout(x, seed, float(self.rate))
 
 
-def dropout_layer(h, rate: float, train: bool):
-    """Dropout dispatch for the resblocks: stock ``nn.Dropout`` by
-    default; the measured-slower recompute-in-backward variant under
-    ``PSLD_DROPOUT_REMAT=1`` (see :class:`RematDropout`); the Pallas
-    hardware-PRNG regenerating kernel under ``PSLD_DROPOUT_PALLAS=1``
-    (see :class:`HWDropout`). All branches produce the module path
-    ``Dropout_0``, so rng streams, parameters (none), and checkpoints
-    are interchangeable."""
-    if os.environ.get("PSLD_DROPOUT_PALLAS") == "1":
+DROPOUT_IMPLS = ("save_mask", "hw", "remat")
+
+
+def resolve_dropout_impl(impl: str = "save_mask") -> str:
+    """The effective dropout implementation: the env vars
+    ``PSLD_DROPOUT_PALLAS`` / ``PSLD_DROPOUT_REMAT`` (1 forces the impl
+    on, 0 forces ``save_mask``) override the config value ``impl``
+    (``model.score_fn.dropout_impl``)."""
+    pallas = os.environ.get("PSLD_DROPOUT_PALLAS")
+    remat = os.environ.get("PSLD_DROPOUT_REMAT")
+    if pallas == "1":
+        return "hw"
+    if remat == "1":
+        return "remat"
+    if (pallas == "0" and impl == "hw") or (remat == "0" and impl == "remat"):
+        return "save_mask"
+    if impl not in DROPOUT_IMPLS:
+        raise ValueError(
+            f"dropout_impl must be one of {DROPOUT_IMPLS}; got {impl!r}")
+    return impl
+
+
+def dropout_layer(h, rate: float, train: bool, impl: str = "save_mask"):
+    """Dropout dispatch for the resblocks (``model.score_fn.dropout_impl``,
+    env overrides via :func:`resolve_dropout_impl`):
+
+    - ``save_mask`` (default): stock ``nn.Dropout`` — threefry mask saved
+      for the backward (reference parity semantics).
+    - ``hw``: the Pallas counter-hash kernel regenerating the mask in the
+      backward (:class:`HWDropout`) — measured +17% on the flagship bf16
+      train step (PARITY round-4).
+    - ``remat``: recompute-the-mask via ``jax.checkpoint``
+      (:class:`RematDropout`) — the documented NEGATIVE result (2%
+      slower), kept as the measurement's artifact.
+
+    All branches produce the module path ``Dropout_0``, so rng streams,
+    parameters (none), and checkpoints are interchangeable."""
+    impl = resolve_dropout_impl(impl)
+    if impl == "hw":
         return HWDropout(rate, deterministic=not train,
                          name="Dropout_0")(h)
-    if os.environ.get("PSLD_DROPOUT_REMAT") == "1":
+    if impl == "remat":
         return RematDropout(rate, deterministic=not train,
                             name="Dropout_0")(h)
     return nn.Dropout(rate, deterministic=not train, name="Dropout_0")(h)
@@ -409,6 +439,7 @@ class ResnetBlockDDPM(nn.Module):
     dropout: float = 0.1
     skip_rescale: bool = False
     init_scale: float = 0.0
+    dropout_impl: str = "save_mask"
 
     @nn.compact
     def __call__(self, x, temb=None, train: bool = False):
@@ -421,7 +452,7 @@ class ResnetBlockDDPM(nn.Module):
                           bias_init=nn.initializers.zeros)(
                 self.act(temb))[:, None, None, :]
         h = norm_act(h, self.act)
-        h = dropout_layer(h, self.dropout, train)
+        h = dropout_layer(h, self.dropout, train, self.dropout_impl)
         h = conv3x3(out_ch, init_scale=self.init_scale)(h)
         if in_ch != out_ch:
             if self.conv_shortcut:
@@ -446,6 +477,7 @@ class ResnetBlockBigGAN(nn.Module):
     fir_kernel: Sequence[float] = (1, 3, 3, 1)
     skip_rescale: bool = True
     init_scale: float = 0.0
+    dropout_impl: str = "save_mask"
 
     @nn.compact
     def __call__(self, x, temb=None, train: bool = False):
@@ -474,7 +506,7 @@ class ResnetBlockBigGAN(nn.Module):
                           bias_init=nn.initializers.zeros)(
                 self.act(temb))[:, None, None, :]
         h = norm_act(h, self.act)
-        h = dropout_layer(h, self.dropout, train)
+        h = dropout_layer(h, self.dropout, train, self.dropout_impl)
         h = conv3x3(out_ch, init_scale=self.init_scale)(h)
 
         if in_ch != out_ch or self.up or self.down:

@@ -27,7 +27,12 @@ SQRT2 = float(np.sqrt(2.0))
 
 def _model_kwargs(config) -> dict:
     """Extract hashable constructor kwargs from a config tree
-    (diffusion.model.score_fn + data.image_size)."""
+    (diffusion.model.score_fn + data.image_size). Also latches the
+    op-level perf knobs (fused_gn/pad_attn) this config declares —
+    config-built models always run under their config's knobs."""
+    from psld_tpu import knobs
+
+    knobs.configure(config)
     sf = config.model.score_fn
     return dict(
         image_size=int(config.data.image_size),
@@ -53,6 +58,7 @@ def _model_kwargs(config) -> dict:
         fourier_scale=float(sf.fourier_scale),
         remat=bool(sf.get("remat", False)),
         scan_blocks=bool(sf.get("scan_blocks", False)),
+        dropout_impl=str(sf.get("dropout_impl", "save_mask")),
     )
 
 
@@ -145,6 +151,10 @@ class _NCSNBase(nn.Module):
     # parameter layout (stacked leading axis); converters:
     # psld_tpu.models.scan_params.{to_scanned,from_scanned}.
     scan_blocks: bool = False
+    # dropout implementation for every resblock (save_mask | hw | remat;
+    # env overrides apply — models/layers.py::resolve_dropout_impl).
+    # `hw` is the measured +17%-train-step Pallas counter-hash kernel.
+    dropout_impl: str = "save_mask"
 
     def _validate(self):
         assert self.progressive in ("none", "output_skip", "residual")
@@ -171,13 +181,15 @@ class _NCSNBase(nn.Module):
             kwargs = dict(
                 act=self.act, dropout=self.dropout,
                 init_scale=self.init_scale, skip_rescale=self.skip_rescale,
+                dropout_impl=self.dropout_impl,
                 **{k: v for k, v in kw.items() if k not in ("up", "down")},
             )
         else:
             kwargs = dict(
                 act=self.act, dropout=self.dropout, fir=self.fir,
                 fir_kernel=self.fir_kernel, init_scale=self.init_scale,
-                skip_rescale=self.skip_rescale, **kw,
+                skip_rescale=self.skip_rescale,
+                dropout_impl=self.dropout_impl, **kw,
             )
         return cls, kwargs
 
@@ -445,6 +457,9 @@ class NCSNppClassifier(_NCSNBase):
 
 
 def _model_kwargs_clf(config) -> dict:
+    from psld_tpu import knobs
+
+    knobs.configure(config)
     cf = config.model.clf_fn
     kwargs = dict(
         image_size=int(config.data.image_size),
@@ -470,6 +485,7 @@ def _model_kwargs_clf(config) -> dict:
         fourier_scale=float(cf.fourier_scale),
         remat=bool(cf.get("remat", False)),
         scan_blocks=bool(cf.get("scan_blocks", False)),
+        dropout_impl=str(cf.get("dropout_impl", "save_mask")),
         n_cls=int(cf.n_cls),
     )
     return kwargs

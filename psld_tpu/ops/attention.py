@@ -58,15 +58,17 @@ def _lane_pad(c: int) -> int:
 
 
 def _pallas_ok(n: int, c: int, dtype) -> bool:
+    from psld_tpu import knobs
+
     # one batch slice must fit comfortably in VMEM: q,k,v,o (N,C) + (N,N),
     # at the lane-padded width actually staged
     cp = _lane_pad(c)
-    if cp != c and os.environ.get("PSLD_PAD_ATTN", "0") != "1":
+    if cp != c and not knobs.pad_attn():
         # measured on-chip (AFHQv2-128 train shape, 256 tokens x C=320
         # padded to 384): the lane-padded kernel LOSES to the einsum
         # fallback (108.3 vs 113.4 img/s — padding FLOPs beat the fusion
         # win), so non-aligned widths default to the fallback;
-        # PSLD_PAD_ATTN=1 opts back in
+        # model.score_fn.pad_attn=true (env PSLD_PAD_ATTN=1) opts back in
         return False
     bytes_needed = (4 * n * cp + n * n) * 4
     return n % 8 == 0 and bytes_needed < 8 * 1024 * 1024

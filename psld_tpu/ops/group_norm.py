@@ -131,14 +131,8 @@ def _pallas_ok(h: int, w: int, c: int, num_groups: int) -> bool:
     )
 
 
-def _env_opt_in() -> bool:
-    import os
-
-    return os.environ.get("PSLD_FUSED_GN", "0") == "1"
-
-
 # NOT jitted: callers (model applies) are jitted already, and keeping the
-# dispatch outside a jit boundary means the PSLD_FUSED_GN opt-in is read at
+# dispatch outside a jit boundary means the fused_gn opt-in is read at
 # every trace instead of being frozen into a cached compilation.
 def fused_group_norm_act(x, scale, bias, num_groups: int, eps: float = 1e-6,
                          act: str = "none", force: bool | None = None):
@@ -150,12 +144,15 @@ def fused_group_norm_act(x, scale, bias, num_groups: int, eps: float = 1e-6,
     and blocks XLA from fusing the normalize+act into neighboring ops,
     while the GN itself is bandwidth-bound. The kernel is kept (correct,
     grad-tested) for shapes/pipelines where a single VMEM pass wins; opt in
-    with PSLD_FUSED_GN=1 or force=True.
+    with ``model.score_fn.fused_gn=true`` (env override PSLD_FUSED_GN=1)
+    or force=True.
     """
+    from psld_tpu import knobs
+
     assert act in _ACTS, act
     b, h, w, c = x.shape
     use = force if force is not None else (
-        _env_opt_in()
+        knobs.fused_gn()
         and jax.default_backend() == "tpu"
         and _pallas_ok(h, w, c, num_groups)
     )

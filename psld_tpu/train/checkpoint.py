@@ -126,7 +126,8 @@ def epoch_from_path(path: str) -> int:
     return int(m.group(1)) if m else 0
 
 
-def write_meta(path: str, epoch: int, complete: bool) -> None:
+def write_meta(path: str, epoch: int, complete: bool,
+               extra: dict | None = None) -> None:
     """Sidecar resume metadata (``<ckpt>.meta.json``, NEXT TO the orbax
     directory -- orbax validates the directory contents on restore).
 
@@ -137,8 +138,11 @@ def write_meta(path: str, epoch: int, complete: bool) -> None:
     (the restored step counter still advances monotonically)."""
     import json
 
+    rec = {"epoch": int(epoch), "complete": bool(complete)}
+    if extra:
+        rec.update(extra)
     with open(path + ".meta.json", "w") as f:
-        json.dump({"epoch": int(epoch), "complete": bool(complete)}, f)
+        json.dump(rec, f)
 
 
 def resume_epoch(path: str) -> int:

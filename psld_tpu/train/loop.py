@@ -235,6 +235,14 @@ def _train_sde(config, stop, max_steps: int | None = None):
     # one metrics stream per run: only process 0 writes (multi-host)
     mlog = profiling.MetricsLogger(
         f"{tcfg.results_dir}/metrics.jsonl" if proc_idx == 0 else "")
+    # resolved perf knobs (config + env overrides) land in the stream
+    # header AND every checkpoint sidecar: a run's numerics are
+    # reproducible from its artifacts (round-3 verdict item 6)
+    from psld_tpu import knobs as _knobs
+
+    run_knobs = _knobs.resolved(config)
+    run_knobs["bf16"] = bool(tcfg.get("bf16", False))
+    mlog.header(knobs=run_knobs)
     timer = profiling.StepTimer()
     btrace = profiling.BoundedTrace(str(tcfg.get("profile_dir", "") or ""),
                                     int(tcfg.get("profile_steps", 10)))
@@ -327,7 +335,8 @@ def _train_sde(config, stop, max_steps: int | None = None):
                                                 str(tcfg.chkpt_prefix),
                                                 epoch, last_loss)
                     path = saver.save(ckpt_dir, name, state)
-                    ckpt.write_meta(path, epoch, complete=not interrupted)
+                    ckpt.write_meta(path, epoch, complete=not interrupted,
+                                    extra={"knobs": run_knobs})
                 logger.info("checkpoint: %s", path)
             if stop.requested or (
                     max_steps is not None and base_steps + total_steps >= max_steps):
@@ -470,7 +479,10 @@ def _train_clf(config, stop, max_steps: int | None = None):
             name = ckpt.checkpoint_name("clf", str(tcfg.chkpt_prefix), epoch,
                                         last["loss"])
             path = ckpt.save_checkpoint(ckpt_dir, name, state)
-            ckpt.write_meta(path, epoch, complete=not interrupted)
+            from psld_tpu import knobs as _knobs
+
+            ckpt.write_meta(path, epoch, complete=not interrupted,
+                            extra={"knobs": _knobs.resolved(ccfg)})
         if stop.requested or (
                 max_steps is not None and base_steps + total_steps >= max_steps):
             if stop.requested:

@@ -55,6 +55,17 @@ class MetricsLogger:
         else:
             self._f = None
 
+    def header(self, **fields):
+        """One non-step record at the head of the stream (run metadata:
+        resolved perf knobs, config digests — anything a reader needs to
+        reproduce the run's numerics from artifacts)."""
+        if self._f is None:
+            return
+        rec = {"header": True, "time": time.time()}
+        rec.update(fields)
+        self._f.write(json.dumps(rec) + "\n")
+        self._f.flush()
+
     def log(self, step: int, **metrics):
         if self._f is None:
             return
