@@ -219,6 +219,14 @@ def _run_sampler(config, sde, sampler_factory, params, writer, batch_source,
     is_host_loop = sampler_name == "bb_ode"
     reports_nfe = sampler_name == "adaptive_ode"
     eps = float(ecfg.eval_eps)
+    # evaluation.nfe_per_dispatch=K: split the trajectory scan into
+    # ceil(n_rows/K) chained dispatches carrying (state, key) — the scan
+    # body and grid rows are unchanged (bit-identical trajectories,
+    # tests/test_samplers.py), only dispatch boundaries move. Needed for
+    # big (batch x NFE) points on runtimes with a per-dispatch watchdog
+    # (the tunneled v5e kills single dispatches >~60 s; the reference's
+    # Python loop never had a ceiling, main/samplers/sde.py:38-58).
+    nfe_pd = int(ecfg.get("nfe_per_dispatch", 0) or 0)
     if lockstep and (latent is None or is_host_loop):
         raise NotImplementedError(
             "under a multi-controller jax runtime only prior-seeded "
@@ -229,10 +237,19 @@ def _run_sampler(config, sde, sampler_factory, params, writer, batch_source,
     if is_host_loop:
         sampler = sampler_factory(params)
     else:
+        from psld_tpu.samplers.base import supports_segments
+
+        if nfe_pd > 0 and (reports_nfe or
+                           not supports_segments(sampler_factory(params))):
+            logger.warning(
+                "evaluation.nfe_per_dispatch=%d ignored: sampler %s has no "
+                "segmented scan (SDE-family samplers only)", nfe_pd,
+                sampler_name)
+            nfe_pd = 0
         # per_step and b_sharding are baked into the compiled closure, so
         # they must be part of the cache identity too
         cache_key = (sampler_name, n_eff, denoise, eps, latent is not None,
-                     per_step, sp,
+                     per_step, sp, nfe_pd,
                      str(ecfg.sampler.get("solver", "")),
                      int(ecfg.sampler.get("order", 2)),
                      int(ecfg.sampler.get("quad_panels", 6)),
@@ -242,6 +259,39 @@ def _run_sampler(config, sde, sampler_factory, params, writer, batch_source,
                      float(ecfg.sampler.get("corrector_snr", 0.16)))
         if jit_cache is not None and cache_key in jit_cache:
             sample_jit = jit_cache[cache_key]
+        elif nfe_pd > 0:
+            # segmented: (init, K x scan-chunk, finalize) jits; grid rows
+            # are host-sliced once (xs is concrete — ts is), so chunks of
+            # equal length share one compiled program (<= 2 programs)
+            xs_full = sampler_factory(params).segment_xs(ts, denoise, eps)
+            n_rows = int(jax.tree_util.tree_leaves(xs_full)[0].shape[0])
+            chunks = [jax.tree_util.tree_map(
+                lambda a: a[i:i + nfe_pd], xs_full)
+                for i in range(0, n_rows, nfe_pd)]
+
+            if latent is not None:
+                def _init(params, k, ts_):
+                    b = latent.sample_batch(k, per_step)
+                    b = jax.lax.with_sharding_constraint(b, b_sharding)
+                    return sampler_factory(params).segment_init(
+                        k, b, ts_, denoise, eps)
+            else:
+                def _init(params, k, b, ts_):
+                    return sampler_factory(params).segment_init(
+                        k, b, ts_, denoise, eps)
+
+            def _seg(params, carry, chunk):
+                return jax.lax.scan(sampler_factory(params).segment_body,
+                                    carry, chunk)[0]
+
+            def _fin(params, carry, ts_):
+                return sampler_factory(params).segment_finalize(
+                    carry, ts_, denoise, eps)
+
+            sample_jit = ("seg", jax.jit(_init), jax.jit(_seg),
+                          jax.jit(_fin), chunks)
+            if jit_cache is not None:
+                jit_cache[cache_key] = sample_jit
         else:
             def _sample_with(s, k, b, ts_):
                 if reports_nfe:
@@ -261,6 +311,20 @@ def _run_sampler(config, sde, sampler_factory, params, writer, batch_source,
             sample_jit = jax.jit(_run)
             if jit_cache is not None:
                 jit_cache[cache_key] = sample_jit
+
+        def _dispatch(p, k_batch, batch):
+            """One full trajectory: single scan, or the chained segmented
+            dispatches (every call is async — segments queue back-to-back)."""
+            if not (isinstance(sample_jit, tuple) and sample_jit[0] == "seg"):
+                if latent is not None:
+                    return sample_jit(p, k_batch, ts)
+                return sample_jit(p, k_batch, batch, ts)
+            _, init_jit, seg_jit, fin_jit, chunks = sample_jit
+            carry = (init_jit(p, k_batch, ts) if latent is not None
+                     else init_jit(p, k_batch, batch, ts))
+            for chunk in chunks:
+                carry = seg_jit(p, carry, chunk)
+            return fin_jit(p, carry, ts)
 
     total_nfe = 0
     n_batches = -(-n_samples // per_step)
@@ -287,13 +351,13 @@ def _run_sampler(config, sde, sampler_factory, params, writer, batch_source,
                     batch_idx, params)
                 if latent is not None:
                     # prior draw traced into the program: one async call
-                    out = sample_jit(p, k_batch, ts)
+                    out = _dispatch(p, k_batch, None)
                 else:
                     # full-width dispatch + host-side slice (serve mechanism)
                     batch = batch_source(k_batch, per_step, batch_idx, rank,
                                          nproc)
                     batch = shard_batch(batch, mesh, sharding=b_sharding)
-                    out = sample_jit(p, k_batch, batch, ts)
+                    out = _dispatch(p, k_batch, batch)
             prefix = (None if prefix_source is None
                       else prefix_source(batch_idx))
             batch_np = (tuple(np.asarray(b)[:take] for b in batch)

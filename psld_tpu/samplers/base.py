@@ -29,6 +29,37 @@ def make_timesteps(n_steps: int, eval_eps: float, t_max: float = 1.0,
     raise ValueError(f"Unknown stride type: {stride_type}")
 
 
+def supports_segments(sampler) -> bool:
+    """Whether ``sampler`` implements the segmented protocol
+    (``segment_init / segment_xs / segment_body / segment_finalize``) —
+    the SDE-sampler family does; host-loop (bb_ode) and while_loop
+    (adaptive_ode) samplers cannot be row-segmented."""
+    return all(hasattr(sampler, m) for m in
+               ("segment_init", "segment_xs", "segment_body",
+                "segment_finalize"))
+
+
+def segmented_sample(sampler, key, batch, ts, denoise=True, eps=1e-3,
+                     rows_per_dispatch: int = 0):
+    """``sampler.sample`` split into ceil(n_rows / rows_per_dispatch)
+    chained ``lax.scan`` dispatches carrying (state, key) — the body and
+    the grid rows are IDENTICAL to the single-scan program, only dispatch
+    boundaries move, so trajectories are bit-identical (pinned by
+    tests/test_samplers.py). Rationale: the tunneled TPU runtime kills
+    any single dispatch >~60 s (CLAUDE.md), which made big
+    (batch x NFE) sampling points unmeasurable; the eval drivers expose
+    this as ``evaluation.nfe_per_dispatch``.
+    """
+    carry = sampler.segment_init(key, batch, ts, denoise, eps)
+    xs = sampler.segment_xs(ts, denoise, eps)
+    n_rows = int(jax.tree_util.tree_leaves(xs)[0].shape[0])
+    step = rows_per_dispatch if rows_per_dispatch > 0 else n_rows
+    for i in range(0, n_rows, step):
+        chunk = jax.tree_util.tree_map(lambda a: a[i:i + step], xs)
+        carry, _ = jax.lax.scan(sampler.segment_body, carry, chunk)
+    return sampler.segment_finalize(carry, ts, denoise, eps)
+
+
 class Sampler(abc.ABC):
     def __init__(self, config, sde, score_fn, corrector_fn=None):
         self.config = config

@@ -88,24 +88,41 @@ def _step_grid(sde, ts, denoise: bool, eps: float):
 
 @register_module(category="samplers", name="em_sde")
 class EulerMaruyamaSampler(Sampler):
-    """(reference samplers/sde.py:9-58)"""
+    """(reference samplers/sde.py:9-58)
+
+    Segmented API (``segment_init/xs/body/finalize``): ``sample`` is ONE
+    scan over the full grid; ``evaluation.nfe_per_dispatch`` (the eval
+    drivers) chains the SAME body over host-sliced grid chunks carrying
+    (state, key) between dispatches — bit-identical trajectories, but no
+    single device dispatch exceeds the runtime's watchdog (the tunneled
+    v5e kills dispatches >~60 s; the reference's Python loop never had a
+    dispatch ceiling, main/samplers/sde.py:38-58).
+    """
+
+    def segment_init(self, key, batch, ts, denoise=True, eps=1e-3):
+        return (batch, key)
+
+    def segment_xs(self, ts, denoise=True, eps=1e-3):
+        return _step_grid(self.sde, ts, denoise, eps)
+
+    def segment_body(self, carry, inp):
+        x, key = carry
+        t, dt, flag = inp
+        key, sub, csub = _split_with_corrector(self, key)
+        x, _ = _em_update(self.sde, self.score_fn, x, t, dt, sub, flag)
+        x = _corrected(self, x, t, dt, flag, csub)
+        return (x, key), None
+
+    def segment_finalize(self, carry, ts, denoise=True, eps=1e-3):
+        return carry[0]
 
     def sample(self, key, batch, ts, n_discrete_steps, denoise=True,
                eps=1e-3):
         del n_discrete_steps  # static: len(ts) - 1
-        x = batch
-        grid = _step_grid(self.sde, ts, denoise, eps)
-
-        def body(carry, inp):
-            x, key = carry
-            t, dt, flag = inp
-            key, sub, csub = _split_with_corrector(self, key)
-            x, _ = _em_update(self.sde, self.score_fn, x, t, dt, sub, flag)
-            x = _corrected(self, x, t, dt, flag, csub)
-            return (x, key), None
-
-        (x, key), _ = jax.lax.scan(body, (x, key), grid)
-        return x
+        carry = self.segment_init(key, batch, ts, denoise, eps)
+        carry, _ = jax.lax.scan(self.segment_body, carry,
+                                self.segment_xs(ts, denoise, eps))
+        return self.segment_finalize(carry, ts, denoise, eps)
 
 
 def clf_time_convention(config) -> str:
@@ -131,7 +148,7 @@ def clf_time_convention(config) -> str:
 
 
 @register_module(category="samplers", name="cc_em_sde")
-class ClassCondEulerMaruyamaSampler(Sampler):
+class ClassCondEulerMaruyamaSampler(EulerMaruyamaSampler):
     """EM with classifier guidance (reference samplers/sde.py:61-122).
 
     The guidance gradient is ``jax.grad`` of the selected log-softmax w.r.t.
@@ -170,36 +187,27 @@ class ClassCondEulerMaruyamaSampler(Sampler):
 
         return jax.grad(selected_logp)(x) * self.clf_temp
 
-    def sample(self, key, batch, ts, n_discrete_steps, denoise=True,
-               eps=1e-3):
-        del n_discrete_steps
-        x = batch
+    def segment_body(self, carry, inp):
+        x, key = carry
+        t, dt, flag = inp
         # final denoise = full guided predictor step keeping the mean
         # (reference sde.py:116-121) -> same scan with noise flag zeroed
-        grid = _step_grid(self.sde, ts, denoise, eps)
-
         reference_time = self.clf_time_convention == "reference"
-
-        def body(carry, inp):
-            x, key = carry
-            t, dt, flag = inp
-            t_clf = t if reference_time else self.sde.T - t
-            key, sub, csub = _split_with_corrector(self, key)
-            x, _ = _em_update(
-                self.sde, self.score_fn, x, t, dt, sub, flag,
-                guidance=lambda xx: self._guidance(xx, t_clf))
-            x = _corrected(self, x, t, dt, flag, csub)
-            return (x, key), None
-
-        (x, key), _ = jax.lax.scan(body, (x, key), grid)
-        return x
+        t_clf = t if reference_time else self.sde.T - t
+        key, sub, csub = _split_with_corrector(self, key)
+        x, _ = _em_update(
+            self.sde, self.score_fn, x, t, dt, sub, flag,
+            guidance=lambda xx: self._guidance(xx, t_clf))
+        x = _corrected(self, x, t, dt, flag, csub)
+        return (x, key), None
 
 
 @register_module(category="samplers", name="ip_em_sde")
-class EulerMaruyamaInpainter(Sampler):
+class EulerMaruyamaInpainter(EulerMaruyamaSampler):
     """RePaint-style phase-space inpainting (reference samplers/sde.py:125-224):
     each EM step overwrites the known region (both x and m channels) with the
-    forward-diffused known image."""
+    forward-diffused known image. Inherits the generic segmented ``sample``;
+    the known image + mask ride the scan carry."""
 
     def _perturb(self, x_0, t, key):
         """Forward-diffuse the known image to time t (sde.py:134-149)."""
@@ -223,9 +231,7 @@ class EulerMaruyamaInpainter(Sampler):
         m_c = m_c * (1 - mask) + m_k * mask
         return join_xm(x_c, m_c)
 
-    def sample(self, key, batch, ts, n_discrete_steps, denoise=True,
-               eps=1e-3):
-        del n_discrete_steps
+    def segment_init(self, key, batch, ts, denoise=True, eps=1e-3):
         x_0, mask = batch
         key, k_prior, k_init = jax.random.split(key, 3)
 
@@ -234,26 +240,28 @@ class EulerMaruyamaInpainter(Sampler):
         tv = jnp.full((x_0.shape[0],), self.sde.T, dtype=ts.dtype)
         u_k, _ = self._perturb(x_0, tv, k_init)
         x = self._stitch(x, u_k, mask)
+        # the known image + mask ride the carry so segmented dispatches
+        # re-stitch without re-staging the batch
+        return (x, key, x_0, mask)
+
+    def segment_xs(self, ts, denoise=True, eps=1e-3):
         # denoise folded into the scan: the flag zeroes both the EM noise
         # and the stitched known-region noise (reference keeps the mean,
         # sde.py:215-223)
-        grid = _step_grid(self.sde, ts, denoise, eps)
+        return _step_grid(self.sde, ts, denoise, eps)
 
-        def body(carry, inp):
-            x, key = carry
-            t, dt, flag = inp
-            key, k_step, k_perturb = jax.random.split(key, 3)
-            x, _ = _em_update(self.sde, self.score_fn, x, t, dt, k_step,
-                              flag)
-            tvk = jnp.full((x.shape[0],), self.sde.T - t, dtype=t.dtype)
-            u_k, mu_k = self._perturb(x_0, tvk, k_perturb)
-            fl = flag.astype(x.dtype)
-            known = mu_k.astype(x.dtype) + fl * (u_k - mu_k).astype(x.dtype)
-            x = self._stitch(x, known, mask)
-            return (x, key), None
-
-        (x, key), _ = jax.lax.scan(body, (x, key), grid)
-        return x
+    def segment_body(self, carry, inp):
+        x, key, x_0, mask = carry
+        t, dt, flag = inp
+        key, k_step, k_perturb = jax.random.split(key, 3)
+        x, _ = _em_update(self.sde, self.score_fn, x, t, dt, k_step,
+                          flag)
+        tvk = jnp.full((x.shape[0],), self.sde.T - t, dtype=t.dtype)
+        u_k, mu_k = self._perturb(x_0, tvk, k_perturb)
+        fl = flag.astype(x.dtype)
+        known = mu_k.astype(x.dtype) + fl * (u_k - mu_k).astype(x.dtype)
+        x = self._stitch(x, known, mask)
+        return (x, key, x_0, mask), None
 
 
 @register_module(category="samplers", name="edit_em_sde")
@@ -304,16 +312,19 @@ class EditEulerMaruyamaSampler(EulerMaruyamaSampler):
         z_t, _, _ = sde.perturb_data(x_0, m_0, 0.0, mm_0, tv, eps)
         return z_t
 
-    def sample(self, key, batch, ts, n_discrete_steps, denoise=True,
-               eps=1e-3):
-        sde = self.sde
-        t0 = jnp.asarray(self.edit_t0, ts.dtype)
+    def _edit_ts(self, ts, eps):
         # affine map of the [0, T-eps] grid onto [T-t0, T-eps]
-        ts_edit = (sde.T - t0) + ts * ((t0 - eps) / (sde.T - eps))
+        t0 = jnp.asarray(self.edit_t0, ts.dtype)
+        return (self.sde.T - t0) + ts * ((t0 - eps) / (self.sde.T - eps))
+
+    def segment_init(self, key, batch, ts, denoise=True, eps=1e-3):
         key, k_init = jax.random.split(key)
-        x = self._init_latent(batch, t0, k_init)
-        return super().sample(key, x, ts_edit, n_discrete_steps,
-                              denoise=denoise, eps=eps)
+        x = self._init_latent(batch, jnp.asarray(self.edit_t0, ts.dtype),
+                              k_init)
+        return (x, key)
+
+    def segment_xs(self, ts, denoise=True, eps=1e-3):
+        return _step_grid(self.sde, self._edit_ts(ts, eps), denoise, eps)
 
 
 @register_module(category="samplers", name="sscs_sde")
@@ -366,25 +377,35 @@ class SSCSSampler(Sampler):
         u = self.analytical_dynamics(u, t, dt / 2, k2)
         return u
 
-    def sample(self, key, batch, ts, n_discrete_steps, denoise=True,
-               eps=1e-3):
-        del n_discrete_steps
-        x = batch
+    def segment_init(self, key, batch, ts, denoise=True, eps=1e-3):
+        return (batch, key)
 
-        def body(carry, inp):
-            x, key = carry
-            t, t_next = inp
-            key, sub, csub = _split_with_corrector(self, key)
-            x = self.predictor_update_fn(x, t, t_next - t, sub)
-            x, _ = self.corrector_update_fn(x, t, t_next - t, key=csub)
-            return (x, key), None
+    def segment_xs(self, ts, denoise=True, eps=1e-3):
+        return (ts[:-1], ts[1:])
 
-        (x, key), _ = jax.lax.scan(body, (x, key), (ts[:-1], ts[1:]))
+    def segment_body(self, carry, inp):
+        x, key = carry
+        t, t_next = inp
+        key, sub, csub = _split_with_corrector(self, key)
+        x = self.predictor_update_fn(x, t, t_next - t, sub)
+        x, _ = self.corrector_update_fn(x, t, t_next - t, key=csub)
+        return (x, key), None
+
+    def segment_finalize(self, carry, ts, denoise=True, eps=1e-3):
+        x = carry[0]
         if denoise:
             x = _em_update(self.sde, self.score_fn, x,
                            jnp.asarray(self.sde.T - eps, ts.dtype),
                            jnp.asarray(eps, ts.dtype), None)[0]
         return x
+
+    def sample(self, key, batch, ts, n_discrete_steps, denoise=True,
+               eps=1e-3):
+        del n_discrete_steps
+        carry = self.segment_init(key, batch, ts, denoise, eps)
+        carry, _ = jax.lax.scan(self.segment_body, carry,
+                                self.segment_xs(ts, denoise, eps))
+        return self.segment_finalize(carry, ts, denoise, eps)
 
 
 @register_module(category="samplers", name="sscs2m_sde")
@@ -427,36 +448,29 @@ class SSCS2MSampler(SSCSSampler):
 
         return join_xm(c(m11) * x + c(m12) * m, c(m21) * x + c(m22) * m)
 
-    def sample(self, key, batch, ts, n_discrete_steps, denoise=True,
-               eps=1e-3):
-        del n_discrete_steps
-        u0 = batch
+    def segment_init(self, key, batch, ts, denoise=True, eps=1e-3):
+        return (batch, key, jnp.zeros_like(batch),
+                jnp.asarray(1.0, ts.dtype))
+
+    def segment_xs(self, ts, denoise=True, eps=1e-3):
         n = ts.shape[0] - 1
         first = (jnp.arange(n) == 0).astype(ts.dtype)
-        carry0 = (u0, key, jnp.zeros_like(u0), jnp.asarray(1.0, ts.dtype))
+        return (ts[:-1], ts[1:], first)
 
-        def body(carry, inp):
-            u, key, prev, dt_prev = carry
-            t, t_next, first_f = inp
-            dt = t_next - t
-            key, sub, csub = _split_with_corrector(self, key)
-            k1, k2 = jax.random.split(sub)  # same split as SSCS's predictor
-            u = self.analytical_dynamics(u, t, dt / 2, k1)
-            prev = self._linear_mean(prev, t, dt / 2)
-            nterm = self.score_term(u, t)
-            rho = (dt / dt_prev).astype(u.dtype)
-            fl = first_f.astype(u.dtype)  # 1 on the history-free first step
-            d = nterm + (1.0 - fl) * (rho / 2.0) * (nterm - prev)
-            u = u + jnp.asarray(dt).astype(u.dtype) * d
-            prev_next = self._linear_mean(nterm, t, dt / 2)
-            u = self.analytical_dynamics(u, t, dt / 2, k2)
-            u, _ = self.corrector_update_fn(u, t, dt, key=csub)
-            return (u, key, prev_next, dt), None
-
-        (u, key, _, _), _ = jax.lax.scan(
-            body, carry0, (ts[:-1], ts[1:], first))
-        if denoise:
-            u = _em_update(self.sde, self.score_fn, u,
-                           jnp.asarray(self.sde.T - eps, ts.dtype),
-                           jnp.asarray(eps, ts.dtype), None)[0]
-        return u
+    def segment_body(self, carry, inp):
+        u, key, prev, dt_prev = carry
+        t, t_next, first_f = inp
+        dt = t_next - t
+        key, sub, csub = _split_with_corrector(self, key)
+        k1, k2 = jax.random.split(sub)  # same split as SSCS's predictor
+        u = self.analytical_dynamics(u, t, dt / 2, k1)
+        prev = self._linear_mean(prev, t, dt / 2)
+        nterm = self.score_term(u, t)
+        rho = (dt / dt_prev).astype(u.dtype)
+        fl = first_f.astype(u.dtype)  # 1 on the history-free first step
+        d = nterm + (1.0 - fl) * (rho / 2.0) * (nterm - prev)
+        u = u + jnp.asarray(dt).astype(u.dtype) * d
+        prev_next = self._linear_mean(nterm, t, dt / 2)
+        u = self.analytical_dynamics(u, t, dt / 2, k2)
+        u, _ = self.corrector_update_fn(u, t, dt, key=csub)
+        return (u, key, prev_next, dt), None

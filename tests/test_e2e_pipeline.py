@@ -67,7 +67,11 @@ def test_train_writes_metrics_jsonl(trained):
     path = os.path.join(results, "metrics.jsonl")
     assert os.path.exists(path)
     recs = [json.loads(line) for line in open(path)]
-    assert recs and {"step", "loss", "grad_norm", "epoch"} <= recs[0].keys()
+    # header record first (resolved perf knobs), step records after
+    assert recs and recs[0].get("header") is True
+    assert "knobs" in recs[0] and "dropout_impl" in recs[0]["knobs"]
+    steps = [r for r in recs if "step" in r]
+    assert steps and {"step", "loss", "grad_norm", "epoch"} <= steps[0].keys()
 
 
 def test_sample_from_checkpoint(trained, workdir):
@@ -112,6 +116,34 @@ def test_sample_bf16_inference(trained, workdir):
     img = np.asarray(Image.open(pngs[0]))
     assert img.shape == (16, 16, 3)
     assert img.std() > 0  # not a constant/NaN-squashed image
+
+
+def test_sample_nfe_per_dispatch_bit_identical(trained, workdir):
+    """evaluation.nfe_per_dispatch through the PRODUCTION sample() path:
+    the chunked-dispatch run must write byte-identical PNGs to the
+    single-scan run (same seeds, same grid, only dispatch boundaries
+    move) — the big-(batch x NFE) watchdog escape, round-4 verdict #3."""
+    from psld_tpu.eval.generate import sample
+    from psld_tpu.config import compose
+
+    results, ckpt_path, argv = trained
+    outs = {}
+    for tag, extra in (("whole", []),
+                       ("seg", ["+dataset.diffusion.evaluation."
+                                "nfe_per_dispatch=2"])):
+        save = str(workdir / f"samples_nfepd_{tag}")
+        cfg = compose(argv + [
+            f"dataset.diffusion.evaluation.chkpt_path={ckpt_path}",
+            f"dataset.diffusion.evaluation.save_path={save}",
+            "dataset.diffusion.evaluation.n_samples=4",
+        ] + extra)
+        assert sample(cfg.dataset.diffusion) == 4
+        outs[tag] = sorted(glob.glob(f"{save}/images/*.png"))
+    assert len(outs["whole"]) == len(outs["seg"]) == 4
+    for a, b in zip(outs["whole"], outs["seg"]):
+        assert os.path.basename(a) == os.path.basename(b)
+        with open(a, "rb") as fa, open(b, "rb") as fb:
+            assert fa.read() == fb.read(), a
 
 
 def test_sample_rk_ode(trained, workdir):

@@ -785,3 +785,89 @@ def test_corrector_does_not_perturb_base_rng_stream():
     b = EulerMaruyamaSampler(cfg, sde, score, corrector_fn=None).sample(
         jax.random.PRNGKey(1), z, ts, 9)
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+# ---------------------------------------------------------------------------
+# Segmented sampling (evaluation.nfe_per_dispatch): splitting the trajectory
+# scan into chained dispatches must be BIT-identical to the single scan —
+# the body and grid rows are unchanged, only dispatch boundaries move.
+# ---------------------------------------------------------------------------
+
+
+def _segmented_cases():
+    from psld_tpu.samplers.sde_samplers import (ClassCondEulerMaruyamaSampler,
+                                                EditEulerMaruyamaSampler)
+
+    s0 = 0.8
+    cfg, sde = make_psld(n_steps=20)
+    score = psld_exact_score_fn(sde, s0)
+    z = sde.prior_sampling(jax.random.PRNGKey(0), (4, 4, 4, 1))
+
+    cases = [("em_sde", EulerMaruyamaSampler(cfg, sde, score), z),
+             ("sscs_sde", SSCSSampler(cfg, sde, score), z),
+             ("sscs2m_sde", SSCS2MSampler(cfg, sde, score), z)]
+
+    cc_cfg = ConfigDict(cfg.to_dict())
+    cc_cfg["clf"] = ConfigDict(
+        {"evaluation": {"label_to_sample": 1, "clf_temp": 2.0}})
+
+    def clf_fn(x, t):
+        pooled = jnp.mean(x, axis=(1, 2, 3))
+        return jnp.stack([pooled, -pooled, 0.5 * pooled], axis=-1)
+
+    cases.append(("cc_em_sde", ClassCondEulerMaruyamaSampler(
+        cc_cfg, sde, score, clf_fn=clf_fn), z))
+
+    x0 = jnp.full((4, 4, 4, 1), 0.5, jnp.float32)
+    mask = jnp.zeros((4, 4, 4, 1), jnp.float32).at[:, :2].set(1.0)
+    cases.append(("ip_em_sde", EulerMaruyamaInpainter(cfg, sde, score),
+                  (x0, mask)))
+
+    edit_cfg, edit_sde = make_psld(n_steps=20, sampler_extra={
+        "name": "edit_em_sde", "edit_t0": 0.4})
+    guide = s0 * jax.random.normal(jax.random.PRNGKey(7), (4, 4, 4, 1),
+                                   jnp.float32)
+    cases.append(("edit_em_sde", EditEulerMaruyamaSampler(
+        edit_cfg, edit_sde, psld_exact_score_fn(edit_sde, s0)), guide))
+    return cases
+
+
+@pytest.mark.parametrize("rows_per_dispatch", [1, 7, 100])
+def test_segmented_sample_bit_identical(rows_per_dispatch):
+    from psld_tpu.samplers.base import segmented_sample, supports_segments
+
+    ts = make_timesteps(20, 1e-3)
+    key = jax.random.PRNGKey(11)
+    for name, sampler, batch in _segmented_cases():
+        assert supports_segments(sampler), name
+        ref = np.asarray(sampler.sample(key, batch, ts, 20))
+        seg = np.asarray(segmented_sample(
+            sampler, key, batch, ts, rows_per_dispatch=rows_per_dispatch))
+        np.testing.assert_array_equal(seg, ref, err_msg=name)
+
+
+def test_segmented_sample_with_corrector_bit_identical():
+    """The corrector hook must survive segmentation too (keys are carried)."""
+    from psld_tpu.samplers.base import segmented_sample
+    from psld_tpu.samplers.correctors import LangevinCorrector
+
+    cfg, sde = make_psld(n_steps=20, sampler_extra={
+        "corrector": "langevin", "corrector_steps": 1,
+        "corrector_snr": 0.16})
+    score = psld_exact_score_fn(sde)
+    corrector = LangevinCorrector(cfg, sde, score)
+    sampler = EulerMaruyamaSampler(cfg, sde, score, corrector_fn=corrector)
+    ts = make_timesteps(20, 1e-3)
+    z = sde.prior_sampling(jax.random.PRNGKey(0), (4, 4, 4, 1))
+    ref = np.asarray(sampler.sample(jax.random.PRNGKey(3), z, ts, 20))
+    seg = np.asarray(segmented_sample(sampler, jax.random.PRNGKey(3), z, ts,
+                                      rows_per_dispatch=6))
+    np.testing.assert_array_equal(seg, ref)
+
+
+def test_ode_samplers_do_not_claim_segments():
+    from psld_tpu.samplers.base import supports_segments
+
+    cfg, sde = make_psld(n_steps=10, sampler_extra={"name": "bb_ode"})
+    assert not supports_segments(BBODESampler(cfg, sde,
+                                              psld_exact_score_fn(sde)))
