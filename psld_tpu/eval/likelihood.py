@@ -217,9 +217,14 @@ def evaluate_nll(config, max_batches: int | None = None):
     get = (lambda k, d: lcfg.get(k, d)) if lcfg is not None else (
         lambda k, d: d)
 
+    from psld_tpu.eval.generate import eval_bf16
+
+    bf16 = eval_bf16(config)
+
     def fn_with_params(p, key, z):
         lik = make_likelihood_fn(
-            sde, make_score_fn(net, p), n_steps=int(get("n_steps", 100)),
+            sde, make_score_fn(net, p, bf16=bf16),
+            n_steps=int(get("n_steps", 100)),
             eps=float(get("eps", 1e-5)), method=str(get("solver", "rk4")),
             n_probes=int(get("n_probes", 1)),
             exact_div=bool(get("exact_div", False)),

@@ -27,9 +27,13 @@ Usage (TPU host):
   PYTHONPATH=/root/repo:/root/.axon_site \
       python scripts/tpu_50k_protocol.py
 Env knobs: PSLD_R3_DIR (default /tmp/psld_r3, needs score/checkpoints +
-data_ref from scripts/tpu_r3_prepare.py), PSLD_50K_N (default 50000),
-PSLD_50K_BS (default 256), PSLD_50K_NFE (default 100), PSLD_50K_SAMPLER
-(default sscs_sde), PSLD_50K_OUT (default $PSLD_R3_DIR/protocol50k).
+data_ref from scripts/tpu_r3_prepare.py), PSLD_50K_MODEL (demo|flagship —
+flagship needs flagship/checkpoints from scripts/tpu_flagship_longrun.py
+and defaults to bs64 + evaluation.bf16, the production quality recipe),
+PSLD_50K_N (default 50000), PSLD_50K_BS (default 256 demo / 64 flagship),
+PSLD_50K_NFE (default 100), PSLD_50K_SAMPLER (default sscs_sde),
+PSLD_50K_BF16 (1/0), PSLD_50K_CKPT (explicit checkpoint path),
+PSLD_50K_OUT (default $PSLD_R3_DIR/protocol50k[_flagship]).
 """
 
 from __future__ import annotations
@@ -44,22 +48,41 @@ import threading
 import time
 
 R3 = os.environ.get("PSLD_R3_DIR", "/tmp/psld_r3")
-OUT = os.environ.get("PSLD_50K_OUT", os.path.join(R3, "protocol50k"))
+# demo: the nf=64 recipe scripts/tpu_r3_prepare.py trains (round-3 run);
+# flagship: the 97.6M SOTA recipe scripts/tpu_flagship_longrun.py trains
+# — the round-4 verdict requires the protocol proven on the FLAGSHIP
+# pipeline (bf16 SSCS-100 at bs64), not just the demo's.
+MODEL = os.environ.get("PSLD_50K_MODEL", "demo")
+OUT = os.environ.get("PSLD_50K_OUT",
+                     os.path.join(R3, f"protocol50k_{MODEL}"
+                                  if MODEL != "demo" else "protocol50k"))
 N = int(os.environ.get("PSLD_50K_N", 50000))
-BS = int(os.environ.get("PSLD_50K_BS", 256))
+BS = int(os.environ.get("PSLD_50K_BS", 256 if MODEL == "demo" else 64))
 NFE = int(os.environ.get("PSLD_50K_NFE", 100))
 SAMPLER = os.environ.get("PSLD_50K_SAMPLER", "sscs_sde")
+BF16 = os.environ.get("PSLD_50K_BF16",
+                      "0" if MODEL == "demo" else "1") == "1"
 RESULTS = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                        "results_50k_protocol.jsonl")
 
-# the nf=64 demo recipe scripts/tpu_r3_prepare.py trains (must match the
-# checkpoint's architecture)
-MODEL_OVERRIDES = [
-    "dataset.diffusion.model.score_fn.nf=64",
-    "dataset.diffusion.model.score_fn.ch_mult=[1,2]",
-    "dataset.diffusion.model.score_fn.num_res_blocks=2",
-    "dataset.diffusion.model.score_fn.attn_resolutions=[16]",
-]
+MODEL_OVERRIDES = {
+    "demo": [
+        "dataset.diffusion.model.score_fn.nf=64",
+        "dataset.diffusion.model.score_fn.ch_mult=[1,2]",
+        "dataset.diffusion.model.score_fn.num_res_blocks=2",
+        "dataset.diffusion.model.score_fn.attn_resolutions=[16]",
+    ],
+    "flagship": [
+        "dataset.diffusion.model.score_fn.ch_mult=[2,2,2]",
+        "dataset.diffusion.model.score_fn.num_res_blocks=8",
+        "dataset.diffusion.model.score_fn.attn_resolutions=[16]",
+        "dataset.diffusion.model.score_fn.dropout=0.15",
+        "dataset.diffusion.model.score_fn.progressive_input='residual'",
+        "dataset.diffusion.model.score_fn.fir=True",
+        "dataset.diffusion.model.score_fn.embedding_type='fourier'",
+    ],
+}[MODEL]
+CKPT_DIR = {"demo": "score", "flagship": "flagship"}[MODEL]
 
 
 def emit(rec: dict):
@@ -152,6 +175,8 @@ def phase_sample(ckpt: str) -> str:
            f"dataset.diffusion.evaluation.n_discrete_steps={NFE}",
            f"dataset.diffusion.evaluation.sampler.name={SAMPLER}",
            f"dataset.diffusion.evaluation.path_prefix={NFE}"]
+    if BF16:
+        cmd.append("+dataset.diffusion.evaluation.bf16=true")
     elapsed, rss_mb, events = run_monitored(
         cmd, {}, progress_re=r"sampled (\d+) /")
     img_dir = f"{OUT}/samples/{NFE}/images"
@@ -171,7 +196,8 @@ def phase_sample(ckpt: str) -> str:
     t_first_prog = progress[0][0] if progress else None
     late = [c for c in compiles
             if t_first_prog is not None and c[0] > t_first_prog]
-    emit({"phase": "sample", "sampler": SAMPLER, "nfe": NFE, "batch": BS,
+    emit({"phase": "sample", "model": MODEL, "bf16": BF16,
+          "sampler": SAMPLER, "nfe": NFE, "batch": BS,
           "n_samples": N, "n_png_written": n_png,
           "elapsed_s": round(elapsed, 1),
           "overall_img_per_s": round(N / elapsed, 3),
@@ -191,7 +217,7 @@ def phase_fid(img_dir: str):
            "--batch", "128",
            "--save-stats1", os.path.join(OUT, "stats_50k.npz")]
     elapsed, rss_mb, _ = run_monitored(cmd, {}, progress_re=None)
-    emit({"phase": "fid_stream", "n_images": N,
+    emit({"phase": "fid_stream", "model": MODEL, "n_images": N,
           "weights": "random-keyed (dummy value; moments pipeline real)",
           "elapsed_s": round(elapsed, 1),
           "img_per_s": round(N / elapsed, 2),
@@ -212,13 +238,15 @@ def phase_pixel_stats(img_dir: str):
         sys.stderr.write(out.stderr[-4000:])
         raise RuntimeError("pixel_stats failed")
     rec = json.loads(out.stdout.strip().splitlines()[-1])
-    emit({"phase": "pixel_stats", "elapsed_s": round(time.time() - t0, 1),
+    emit({"phase": "pixel_stats", "model": MODEL,
+          "elapsed_s": round(time.time() - t0, 1),
           **rec})
 
 
 def main():
     os.makedirs(OUT, exist_ok=True)
-    ckpt = latest_ckpt(os.path.join(R3, "score"))
+    ckpt = (os.environ.get("PSLD_50K_CKPT")
+            or latest_ckpt(os.path.join(R3, CKPT_DIR)))
     t0 = time.time()
     img_dir = phase_sample(ckpt)
     phase_fid(img_dir)
