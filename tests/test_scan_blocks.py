@@ -263,3 +263,46 @@ def test_classifier_scan_forward_equivalence():
     np.testing.assert_allclose(np.asarray(net_u.apply(p_u, x, t)),
                                np.asarray(net_s.apply(p_s, x, t)),
                                rtol=2e-5, atol=2e-6)
+
+
+def test_hw_dropout_composes_with_scan():
+    """dropout_impl=hw inside an nn.scan'd block stack: split_rngs must
+    hand every scanned block a DISTINCT mask stream (the seed is traced
+    through the scan carry), the train step must run and differentiate,
+    and deterministic (eval) mode must bypass the op entirely."""
+    from psld_tpu.registry import get_module
+    from psld_tpu.train.state import init_state
+    from psld_tpu.train.steps import make_train_step
+
+    cfg = _train_cfg(True)
+    cfg["model"]["score_fn"]["dropout"] = 0.5
+    cfg["model"]["score_fn"]["dropout_impl"] = "hw"
+    net = NCSNpp.from_config(cfg)
+    sde = get_module("sde", "psld")(cfg)
+    criterion = get_module("losses", "psld_score_loss")(cfg, sde)
+    x = jnp.zeros((2, 16, 16, 2), jnp.float32)
+    t = jnp.full((2,), 0.5, jnp.float32)
+    params = net.init(jax.random.PRNGKey(1), x, t)
+
+    step, optimizer = make_train_step(net, sde, criterion, cfg,
+                                      donate=False)
+    state = init_state(params, optimizer)
+    batch = jnp.asarray(np.random.default_rng(5).standard_normal(
+        (4, 16, 16, 1)), jnp.float32)
+    state, metrics = step(state, batch, jax.random.PRNGKey(3))
+    assert np.isfinite(float(metrics["loss"]))
+    assert np.isfinite(float(metrics["grad_norm"]))
+
+    # distinct masks per scanned block: a train-mode forward with a fixed
+    # input must differ across dropout keys (stream actually used) ...
+    xin = jnp.asarray(np.random.default_rng(7).standard_normal(
+        (2, 16, 16, 2)), jnp.float32)
+    y1 = net.apply(params, xin, t, train=True,
+                   rngs={"dropout": jax.random.PRNGKey(11)})
+    y2 = net.apply(params, xin, t, train=True,
+                   rngs={"dropout": jax.random.PRNGKey(12)})
+    assert float(jnp.abs(y1 - y2).max()) > 0
+    # ... and eval mode must be rng-free and deterministic
+    e1 = net.apply(params, xin, t, train=False)
+    e2 = net.apply(params, xin, t, train=False)
+    np.testing.assert_array_equal(np.asarray(e1), np.asarray(e2))
