@@ -84,6 +84,12 @@ class HWDropout(nn.Module):
 
     rate: float
     deterministic: bool
+    # None = auto (Pallas kernel on TPU); False = force the inline jnp
+    # lowering of the SAME hash (``dropout_impl=hw_inline``): XLA fuses
+    # the hash+select into the neighboring ops' epilogues like stock
+    # dropout's threefry, but the custom VJP still regenerates (never
+    # saves) the mask — no pallas_call boundary passes at all.
+    use_pallas: bool | None = None
 
     @nn.compact
     def __call__(self, x):
@@ -95,10 +101,10 @@ class HWDropout(nn.Module):
             return jnp.zeros_like(x)
         rng = self.make_rng("dropout")
         seed = jax.random.key_data(rng).reshape(-1).astype(jnp.uint32)
-        return hw_dropout(x, seed, float(self.rate))
+        return hw_dropout(x, seed, float(self.rate), self.use_pallas)
 
 
-DROPOUT_IMPLS = ("save_mask", "hw", "remat")
+DROPOUT_IMPLS = ("save_mask", "hw", "hw_inline", "remat")
 
 
 def resolve_dropout_impl(impl: str = "save_mask") -> str:
@@ -112,7 +118,8 @@ def resolve_dropout_impl(impl: str = "save_mask") -> str:
         return "hw"
     if remat == "1":
         return "remat"
-    if (pallas == "0" and impl == "hw") or (remat == "0" and impl == "remat"):
+    if (pallas == "0" and impl in ("hw", "hw_inline")) or (
+            remat == "0" and impl == "remat"):
         return "save_mask"
     if impl not in DROPOUT_IMPLS:
         raise ValueError(
@@ -127,8 +134,13 @@ def dropout_layer(h, rate: float, train: bool, impl: str = "save_mask"):
     - ``save_mask`` (default): stock ``nn.Dropout`` — threefry mask saved
       for the backward (reference parity semantics).
     - ``hw``: the Pallas counter-hash kernel regenerating the mask in the
-      backward (:class:`HWDropout`) — measured +17% on the flagship bf16
-      train step (PARITY round-4).
+      backward (:class:`HWDropout`) — measured +13.5% on the flagship
+      bf16 train step (PARITY round-4).
+    - ``hw_inline``: the SAME counter-hash mask, lowered inline as jnp
+      ops instead of a Pallas kernel — XLA fuses the hash+select into
+      the neighboring epilogues (no kernel-boundary passes), and the
+      custom VJP still regenerates the mask in the backward. Bit-
+      identical outputs to ``hw``.
     - ``remat``: recompute-the-mask via ``jax.checkpoint``
       (:class:`RematDropout`) — the documented NEGATIVE result (2%
       slower), kept as the measurement's artifact.
@@ -136,8 +148,9 @@ def dropout_layer(h, rate: float, train: bool, impl: str = "save_mask"):
     All branches produce the module path ``Dropout_0``, so rng streams,
     parameters (none), and checkpoints are interchangeable."""
     impl = resolve_dropout_impl(impl)
-    if impl == "hw":
+    if impl in ("hw", "hw_inline"):
         return HWDropout(rate, deterministic=not train,
+                         use_pallas=None if impl == "hw" else False,
                          name="Dropout_0")(h)
     if impl == "remat":
         return RematDropout(rate, deterministic=not train,

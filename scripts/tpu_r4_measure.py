@@ -109,6 +109,10 @@ def phase_hw_step():
         ("hw", ["+dataset.diffusion.model.score_fn.dropout_impl=hw"]),
         ("hw_passthrough",
          ["+dataset.diffusion.model.score_fn.dropout_impl=hw"]),
+        # same counter-hash mask, inline jnp lowering: XLA fuses the
+        # hash+select into neighboring epilogues (no pallas_call boundary)
+        ("hw_inline",
+         ["+dataset.diffusion.model.score_fn.dropout_impl=hw_inline"]),
     ]
     for name, extra in cells:
         if name == "hw_passthrough":

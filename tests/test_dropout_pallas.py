@@ -265,3 +265,23 @@ def test_pallas_kernel_on_chip():
     # kernel and jnp path compute the SAME hash bits
     yj = np.asarray(hw_dropout(x, seed, 0.15, False), np.float32)
     np.testing.assert_array_equal(ya, yj)
+
+
+def test_hw_inline_impl_dispatch():
+    """dropout_impl=hw_inline: same counter-hash mask as hw, inline jnp
+    lowering (use_pallas=False threaded through HWDropout); env kill
+    switch PSLD_DROPOUT_PALLAS=0 downgrades it to save_mask too."""
+    from psld_tpu.models.layers import HWDropout, resolve_dropout_impl
+
+    assert resolve_dropout_impl("hw_inline") == "hw_inline"
+    x = jax.random.normal(jax.random.PRNGKey(0), (8, 128), jnp.float32)
+    auto = HWDropout(0.3, deterministic=False).apply(
+        {}, x, rngs={"dropout": jax.random.PRNGKey(1)})
+    inline = HWDropout(0.3, deterministic=False, use_pallas=False).apply(
+        {}, x, rngs={"dropout": jax.random.PRNGKey(1)})
+    np.testing.assert_array_equal(np.asarray(auto), np.asarray(inline))
+    os.environ["PSLD_DROPOUT_PALLAS"] = "0"
+    try:
+        assert resolve_dropout_impl("hw_inline") == "save_mask"
+    finally:
+        del os.environ["PSLD_DROPOUT_PALLAS"]
