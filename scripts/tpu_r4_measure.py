@@ -114,6 +114,10 @@ def phase_hw_step():
         ("hw_inline",
          ["+dataset.diffusion.model.score_fn.dropout_impl=hw_inline"]),
     ]
+    only = os.environ.get("PSLD_HW_CELLS")
+    if only:
+        keep = set(only.split(","))
+        cells = [c for c in cells if c[0] in keep]
     for name, extra in cells:
         if name == "hw_passthrough":
             # identical pallas launches, all-keep mask: isolates the
