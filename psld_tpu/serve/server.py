@@ -98,17 +98,48 @@ class SamplerService:
         self.latent = SDELatentDataset(self.sde, config)
         eps = float(ecfg.eval_eps)
 
-        def _run(params, k, z):
+        def _make(params):
             from psld_tpu.samplers.correctors import build_corrector
             from psld_tpu.eval.generate import eval_bf16
 
             score_fn = make_score_fn(net, params, bf16=eval_bf16(config))
-            s = sampler_cls(config, self.sde, score_fn,
-                            corrector_fn=build_corrector(config, self.sde,
-                                                         score_fn))
-            return s.sample(k, z, ts, n_eff, denoise=self.denoise, eps=eps)
+            return sampler_cls(config, self.sde, score_fn,
+                               corrector_fn=build_corrector(
+                                   config, self.sde, score_fn))
 
-        self._sample = jax.jit(_run)
+        def _run(params, k, z):
+            return _make(params).sample(k, z, ts, n_eff,
+                                        denoise=self.denoise, eps=eps)
+
+        # evaluation.nfe_per_dispatch=K: serve the SAME trajectory as K-row
+        # chained dispatches (bit-identical; eval/generate.py has the same
+        # knob) so big-NFE serving never exceeds a runtime's per-dispatch
+        # watchdog. Only SDE-family samplers segment; others ignore it.
+        from psld_tpu.samplers.base import supports_segments
+
+        nfe_pd = int(ecfg.get("nfe_per_dispatch", 0) or 0)
+        if nfe_pd > 0 and supports_segments(_make(params)):
+            probe = _make(params)
+            xs = probe.segment_xs(ts, self.denoise, eps)
+            n_rows = int(jax.tree_util.tree_leaves(xs)[0].shape[0])
+            chunks = [jax.tree_util.tree_map(lambda a: a[i:i + nfe_pd], xs)
+                      for i in range(0, n_rows, nfe_pd)]
+            init_jit = jax.jit(lambda p, k, z: _make(p).segment_init(
+                k, z, ts, self.denoise, eps))
+            seg_jit = jax.jit(lambda p, c, ch: jax.lax.scan(
+                _make(p).segment_body, c, ch)[0])
+            fin_jit = jax.jit(lambda p, c: _make(p).segment_finalize(
+                c, ts, self.denoise, eps))
+
+            def _segmented(params, k, z):
+                carry = init_jit(params, k, z)
+                for ch in chunks:
+                    carry = seg_jit(params, carry, ch)
+                return fin_jit(params, carry)
+
+            self._sample = _segmented
+        else:
+            self._sample = jax.jit(_run)
         self._jax = jax
         self.n_steps = n_steps
         self.compiled = False

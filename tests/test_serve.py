@@ -262,3 +262,51 @@ def test_serve_spatial_sharded(tmp_path):
     assert r["written"] == 3
     pngs = glob.glob(str(tmp_path / "out" / "**" / "*.png"), recursive=True)
     assert len(pngs) == 3
+
+
+def test_serve_nfe_per_dispatch_bit_identical(tmp_path):
+    """evaluation.nfe_per_dispatch in serving: the segmented service must
+    write byte-identical PNGs to the whole-scan service for the same seed
+    (same knob + identity contract as eval/generate.py)."""
+    import jax  # noqa: F401
+
+    from psld_tpu.config import compose
+    from psld_tpu.serve.server import SamplerService
+    from psld_tpu.train import checkpoint as ckpt
+    from psld_tpu.train.loop import build_score_model, init_score_params
+    from psld_tpu.train.state import init_state, make_optimizer
+
+    base = [
+        "+dataset=cifar10/cifar10_psld",
+        f"dataset.diffusion.data.root={tmp_path}",
+        "dataset.diffusion.data.name=synthetic",
+        "dataset.diffusion.data.image_size=16",
+        "dataset.diffusion.model.score_fn.nf=8",
+        "dataset.diffusion.model.score_fn.ch_mult=[1,2]",
+        "dataset.diffusion.model.score_fn.num_res_blocks=1",
+        "dataset.diffusion.model.score_fn.attn_resolutions=[8]",
+        "dataset.diffusion.evaluation.batch_size=2",
+        "dataset.diffusion.evaluation.n_discrete_steps=6",
+        "dataset.diffusion.evaluation.sample_from=target",
+        f"dataset.diffusion.evaluation.chkpt_path={tmp_path}/ckpt",
+    ]
+    cfg = compose(base).dataset.diffusion
+    net = build_score_model(cfg)
+    state = init_state(init_score_params(net, cfg, 0),
+                       make_optimizer(cfg.training.optimizer))
+    ckpt.save_checkpoint(str(tmp_path), "ckpt", state)
+
+    outs = {}
+    for tag, extra in (("whole", []),
+                       ("seg", ["+dataset.diffusion.evaluation."
+                                "nfe_per_dispatch=2"])):
+        svc = SamplerService(compose(base + extra).dataset.diffusion)
+        r = svc.sample_to_dir(4, seed=7, out_dir=str(tmp_path / tag))
+        assert r["written"] == 4
+        outs[tag] = sorted(glob.glob(str(tmp_path / tag / "**" / "*.png"),
+                                     recursive=True))
+    assert len(outs["whole"]) == len(outs["seg"]) == 4
+    for a, b in zip(outs["whole"], outs["seg"]):
+        assert os.path.basename(a) == os.path.basename(b)
+        with open(a, "rb") as fa, open(b, "rb") as fb:
+            assert fa.read() == fb.read(), a
