@@ -243,7 +243,8 @@ def _run_sampler(config, sde, sampler_factory, params, writer, batch_source,
                            not supports_segments(sampler_factory(params))):
             logger.warning(
                 "evaluation.nfe_per_dispatch=%d ignored: sampler %s has no "
-                "segmented scan (SDE-family samplers only)", nfe_pd,
+                "segmented scan (fixed-grid samplers only; bb_ode and "
+                "adaptive_ode cannot be row-segmented)", nfe_pd,
                 sampler_name)
             nfe_pd = 0
         # per_step and b_sharding are baked into the compiled closure, so

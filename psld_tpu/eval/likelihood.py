@@ -127,42 +127,49 @@ def make_likelihood_fn(sde, score_fn, *, n_steps: int = 100,
             div = _divergence_hutchinson(drift_fn, z, probes)
         return dz, div
 
-    def fn(key, x):
+    # Segmented protocol (evaluation.likelihood.steps_per_dispatch): the
+    # NLL integral is one fixed-grid scan just like the samplers', so the
+    # same watchdog escape applies — the Hutchinson probes (drawn ONCE per
+    # call) ride the carry so chained dispatches see the same estimator.
+    def segment_ts():
         u = jnp.linspace(0.0, 1.0, n_steps + 1, dtype=time_dtype())
         if stride == "quadratic":
             u = u * u
-        ts = eps + (sde.T - eps) * u
+        return eps + (sde.T - eps) * u
+
+    def segment_init(key, x):
         probes = None
         if not exact_div:
             probes = (jax.random.rademacher(
                 key, (n_probes,) + x.shape, jnp.int8)
             ).astype(x.dtype)
-
-        def body(carry, inp):
-            z, logdet = carry
-            t, t_next = inp
-            dt = t_next - t
-            dt_c = dt.astype(z.dtype)
-            k1, d1 = rhs(z, t, probes)
-            if method == "euler":
-                z_n = z + dt_c * k1
-                ld = logdet + dt * d1
-            elif method == "heun":
-                k2, d2 = rhs(z + dt_c * k1, t_next, probes)
-                z_n = z + dt_c * 0.5 * (k1 + k2)
-                ld = logdet + dt * 0.5 * (d1 + d2)
-            else:
-                half = t + dt / 2
-                k2, d2 = rhs(z + 0.5 * dt_c * k1, half, probes)
-                k3, d3 = rhs(z + 0.5 * dt_c * k2, half, probes)
-                k4, d4 = rhs(z + dt_c * k3, t_next, probes)
-                z_n = z + dt_c / 6.0 * (k1 + 2 * k2 + 2 * k3 + k4)
-                ld = logdet + dt / 6.0 * (d1 + 2 * d2 + 2 * d3 + d4)
-            return (z_n, ld), None
-
         logdet0 = jnp.zeros((x.shape[0],), time_dtype())
-        (z_T, logdet), _ = jax.lax.scan(body, (x, logdet0),
-                                        (ts[:-1], ts[1:]))
+        return (x, logdet0, probes)
+
+    def segment_body(carry, inp):
+        z, logdet, probes = carry
+        t, t_next = inp
+        dt = t_next - t
+        dt_c = dt.astype(z.dtype)
+        k1, d1 = rhs(z, t, probes)
+        if method == "euler":
+            z_n = z + dt_c * k1
+            ld = logdet + dt * d1
+        elif method == "heun":
+            k2, d2 = rhs(z + dt_c * k1, t_next, probes)
+            z_n = z + dt_c * 0.5 * (k1 + k2)
+            ld = logdet + dt * 0.5 * (d1 + d2)
+        else:
+            half = t + dt / 2
+            k2, d2 = rhs(z + 0.5 * dt_c * k1, half, probes)
+            k3, d3 = rhs(z + 0.5 * dt_c * k2, half, probes)
+            k4, d4 = rhs(z + dt_c * k3, t_next, probes)
+            z_n = z + dt_c / 6.0 * (k1 + 2 * k2 + 2 * k3 + k4)
+            ld = logdet + dt / 6.0 * (d1 + 2 * d2 + 2 * d3 + d4)
+        return (z_n, ld, probes), None
+
+    def segment_finalize(carry):
+        z_T, logdet, _ = carry
         prior = sde.prior_logp(z_T).astype(logdet.dtype)
         # instantaneous change of variables: along dz/dt = f_pf,
         # d log p_t(z_t)/dt = -div f_pf, so
@@ -172,6 +179,16 @@ def make_likelihood_fn(sde, score_fn, *, n_steps: int = 100,
                 "z_T": z_T, "nfe": np.int32((1 if exact_div else n_probes)
                                             * order * n_steps)}
 
+    def fn(key, x):
+        ts = segment_ts()
+        carry, _ = jax.lax.scan(segment_body, segment_init(key, x),
+                                (ts[:-1], ts[1:]))
+        return segment_finalize(carry)
+
+    fn.segment_ts = segment_ts
+    fn.segment_init = segment_init
+    fn.segment_body = segment_body
+    fn.segment_finalize = segment_finalize
     return fn
 
 
@@ -196,8 +213,10 @@ def evaluate_nll(config, max_batches: int | None = None):
     Optional knobs under ``evaluation.likelihood``: n_steps (100), solver
     (rk4|heun|euler), n_probes (1), exact_div (False — exact Jacobian
     trace instead of Hutchinson), exact_chunk (32 trace rows live at
-    once), eps (1e-5), stride — all read with defaults so the reference
-    config surface is unchanged.
+    once), eps (1e-5), stride, steps_per_dispatch (0 = one scan; K > 0
+    chains the same body over K-row grid chunks, bit-identical, for
+    per-dispatch watchdog runtimes) — all read with defaults so the
+    reference config surface is unchanged.
     ``evaluation.n_samples`` caps how much of the dataset is evaluated.
     """
     import logging
@@ -221,8 +240,8 @@ def evaluate_nll(config, max_batches: int | None = None):
 
     bf16 = eval_bf16(config)
 
-    def fn_with_params(p, key, z):
-        lik = make_likelihood_fn(
+    def make_lik(p):
+        return make_likelihood_fn(
             sde, make_score_fn(net, p, bf16=bf16),
             n_steps=int(get("n_steps", 100)),
             eps=float(get("eps", 1e-5)), method=str(get("solver", "rk4")),
@@ -230,6 +249,9 @@ def evaluate_nll(config, max_batches: int | None = None):
             exact_div=bool(get("exact_div", False)),
             exact_chunk=int(get("exact_chunk", 32)),
             stride=str(get("stride", "quadratic")))
+
+    def fn_with_params(p, key, z):
+        lik = make_lik(p)
         if sde.is_augmented:
             nll, out = augmented_nll_bound(sde, lik, key, z)
         else:
@@ -238,6 +260,13 @@ def evaluate_nll(config, max_batches: int | None = None):
         return nll
 
     nll_jit = jax.jit(fn_with_params)
+
+    # evaluation.likelihood.steps_per_dispatch=K: chain the SAME scan body
+    # over host-sliced grid chunks (bit-identical to the single scan; the
+    # probes ride the carry) so a big (batch x n_steps x order) NLL point
+    # never exceeds a per-dispatch watchdog — the likelihood analogue of
+    # evaluation.nfe_per_dispatch (samplers/base.py::segmented_sample).
+    spd = int(get("steps_per_dispatch", 0) or 0)
 
     mesh = make_mesh()
     params = replicate(params, mesh)
@@ -253,6 +282,32 @@ def evaluate_nll(config, max_batches: int | None = None):
         max_batches = (min(max_batches, cap_batches)
                        if max_batches is not None else cap_batches)
 
+    if spd > 0:
+        ts = np.asarray(make_lik(params).segment_ts())
+        xs_full = (ts[:-1], ts[1:])
+        chunks = [tuple(a[i:i + spd] for a in xs_full)
+                  for i in range(0, ts.shape[0] - 1, spd)]
+        init_jit = jax.jit(lambda p, k, z: make_lik(p).segment_init(k, z))
+        seg_jit = jax.jit(lambda p, c, ch: jax.lax.scan(
+            make_lik(p).segment_body, c, ch)[0])
+        fin_jit = jax.jit(lambda p, c: make_lik(p).segment_finalize(c))
+
+        def lik_segmented(k, z):
+            carry = init_jit(params, k, z)
+            for ch in chunks:
+                carry = seg_jit(params, carry, jax.tree_util.tree_map(
+                    jnp.asarray, ch))
+            return fin_jit(params, carry)
+
+        def nll_call(k, x):
+            if sde.is_augmented:
+                nll, _ = augmented_nll_bound(sde, lik_segmented, k, x)
+            else:
+                nll = -lik_segmented(k, x)["logp"]
+            return nll
+    else:
+        nll_call = lambda k, x: nll_jit(params, k, x)
+
     dim = None
     nlls = []
     for i, batch in enumerate(loader):
@@ -260,8 +315,7 @@ def evaluate_nll(config, max_batches: int | None = None):
             break
         x = shard_batch(jnp.asarray(batch), mesh)
         dim = dim or int(np.prod(x.shape[1:]))
-        nlls.append(np.asarray(nll_jit(params, jax.random.fold_in(key, i),
-                                       x)))
+        nlls.append(np.asarray(nll_call(jax.random.fold_in(key, i), x)))
         if (i + 1) % 10 == 0:
             running = float(np.mean(bits_per_dim(
                 jnp.asarray(np.concatenate(nlls)), dim)))

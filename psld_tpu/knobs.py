@@ -17,7 +17,8 @@ model.score_fn.     lane-pad non-128-multiple       PSLD_PAD_ATTN=1/0
                     Pallas kernel (measured slower
                     at C=320 — default False)
 model.score_fn.     resblock dropout impl           PSLD_DROPOUT_PALLAS /
-  dropout_impl      (save_mask | hw | remat)        PSLD_DROPOUT_REMAT
+  dropout_impl      (save_mask | hw |               PSLD_DROPOUT_REMAT
+                    hw_inline | remat)
 ==================  =============================  ====================
 
 ``dropout_impl`` threads through the model constructor

@@ -151,9 +151,12 @@ class _NCSNBase(nn.Module):
     # parameter layout (stacked leading axis); converters:
     # psld_tpu.models.scan_params.{to_scanned,from_scanned}.
     scan_blocks: bool = False
-    # dropout implementation for every resblock (save_mask | hw | remat;
-    # env overrides apply — models/layers.py::resolve_dropout_impl).
-    # `hw` is the measured +17%-train-step Pallas counter-hash kernel.
+    # dropout implementation for every resblock (save_mask | hw |
+    # hw_inline | remat; env overrides apply —
+    # models/layers.py::resolve_dropout_impl). `hw_inline` is the
+    # recommended TPU setting: the counter-hash mask regenerated in
+    # backward, lowered as inline jnp ops XLA fuses into the neighboring
+    # epilogues (+31% train step vs save_mask, PARITY round-4 §1).
     dropout_impl: str = "save_mask"
 
     def _validate(self):

@@ -32,8 +32,9 @@ def make_timesteps(n_steps: int, eval_eps: float, t_max: float = 1.0,
 def supports_segments(sampler) -> bool:
     """Whether ``sampler`` implements the segmented protocol
     (``segment_init / segment_xs / segment_body / segment_finalize``) —
-    the SDE-sampler family does; host-loop (bb_ode) and while_loop
-    (adaptive_ode) samplers cannot be row-segmented."""
+    every fixed-grid sampler does (the SDE family, rk_ode, ei_ode /
+    cc_ei_ode); host-loop (bb_ode) and while_loop (adaptive_ode)
+    samplers cannot be row-segmented."""
     return all(hasattr(sampler, m) for m in
                ("segment_init", "segment_xs", "segment_body",
                 "segment_finalize"))

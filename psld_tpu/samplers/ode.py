@@ -434,65 +434,81 @@ class EIODESampler(Sampler):
             return join_xm(eps_hat, jnp.zeros_like(eps_hat))
         return eps_hat
 
-    def sample(self, key, batch, ts, n_discrete_steps, denoise=True,
-               eps=1e-3):
-        del key, n_discrete_steps
+    # -- segmented protocol (evaluation.nfe_per_dispatch) --------------------
+    # The multistep state (previous eps evaluations + step sizes) rides the
+    # scan carry, so chaining the SAME body over host-sliced rows of the
+    # precomputed coefficient tables reproduces the single-scan trajectory
+    # bit for bit — the deterministic analogue of the SDE family's
+    # segmented API (sde_samplers.py:93-99). One caveat: XLA may unroll a
+    # trip-count-1 scan and contract FMAs differently inside the unrolled
+    # body, which order 3 can amplify when run below its stability floor
+    # (CPU backend, NFE < 30; gated by allclose in tests/test_samplers.py);
+    # orders 1-2 are bit-exact everywhere and all orders measure bit-exact
+    # on TPU (scripts/results_r4.jsonl `ei3_identity` rows).
+    def segment_init(self, key, batch, ts, denoise=True, eps=1e-3):
+        del key  # deterministic sampler
         u = batch
-        sde = self.sde
+        zero = jnp.zeros(u.shape, u.dtype)
+        one = jnp.asarray(1.0, ts.dtype)
+        if self.order == 3:
+            return (u, zero, zero, one, one)
+        return (u, zero, one)
+
+    def segment_xs(self, ts, denoise=True, eps=1e-3):
         ta, tb = ts[:-1], ts[1:]
         n = ta.shape[0]
         if self.order == 3:
-            # quadratic Newton extrapolation through the last three eps
-            # evaluations (backward divided differences on the non-uniform
-            # tau grid), weighted by the exact second-moment table Psi2;
-            # steps 0/1 fall back to order 1/2 via the m1/m2 masks
             e_tab, psi0, psi1, psi2 = self._tables(ts)
+            # steps 0/1 fall back to order 1/2 via the m1/m2 masks
             m1 = (jnp.arange(n) >= 1).astype(ts.dtype)
             m2 = (jnp.arange(n) >= 2).astype(ts.dtype)
-            zero = jnp.zeros(u.shape, u.dtype)
-            one = jnp.asarray(1.0, ts.dtype)
-            carry0 = (u, zero, zero, one, one)
+            return (ta, tb - ta, m1, m2, e_tab, psi0, psi1, psi2)
+        e_tab, psi0, psi1 = self._tables(ts)
+        first = (jnp.arange(n) == 0).astype(ts.dtype)
+        return (ta, tb - ta, first, e_tab, psi0, psi1)
 
-            def body3(carry, inp):
-                u, e_p, e_pp, h1, h2 = carry
-                tau, dtau, m1f, m2f, e_row, p0_row, p1_row, p2_row = inp
-                eps_hat = self._eps_eval(u, tau)
-                d1 = (eps_hat - e_p) * (m1f / h1).astype(u.dtype)
-                d1p = (e_p - e_pp) * (m2f / h2).astype(u.dtype)
-                d2 = (d1 - d1p) * (m2f / (h1 + h2)).astype(u.dtype)
-                c1 = d1 + h1.astype(u.dtype) * d2
-                u_new = (self._apply(e_row, u) - self._apply(p0_row, eps_hat)
-                         - self._apply(p1_row, c1) - self._apply(p2_row, d2))
-                return (u_new, eps_hat, e_p, dtau, h1), None
+    def segment_body(self, carry, inp):
+        if self.order == 3:
+            # quadratic Newton extrapolation through the last three eps
+            # evaluations (backward divided differences on the non-uniform
+            # tau grid), weighted by the exact second-moment table Psi2
+            u, e_p, e_pp, h1, h2 = carry
+            tau, dtau, m1f, m2f, e_row, p0_row, p1_row, p2_row = inp
+            eps_hat = self._eps_eval(u, tau)
+            d1 = (eps_hat - e_p) * (m1f / h1).astype(u.dtype)
+            d1p = (e_p - e_pp) * (m2f / h2).astype(u.dtype)
+            d2 = (d1 - d1p) * (m2f / (h1 + h2)).astype(u.dtype)
+            c1 = d1 + h1.astype(u.dtype) * d2
+            u_new = (self._apply(e_row, u) - self._apply(p0_row, eps_hat)
+                     - self._apply(p1_row, c1) - self._apply(p2_row, d2))
+            return (u_new, eps_hat, e_p, dtau, h1), None
+        u, eps_prev, dt_prev = carry
+        tau, dtau, first_f, e_row, p0_row, p1_row = inp
+        eps_hat = self._eps_eval(u, tau)
+        u_new = self._apply(e_row, u) - self._apply(p0_row, eps_hat)
+        if self.order == 2:
+            slope = (eps_hat - eps_prev) * (
+                (1.0 - first_f) / dt_prev).astype(u.dtype)
+            u_new = u_new - self._apply(p1_row, slope)
+        return (u_new, eps_hat, dtau), None
 
-            (u, _, _, _, _), _ = jax.lax.scan(
-                body3, carry0,
-                (ta, tb - ta, m1, m2, e_tab, psi0, psi1, psi2))
-        else:
-            e_tab, psi0, psi1 = self._tables(ts)
-            first = (jnp.arange(n) == 0).astype(ts.dtype)
-            carry0 = (u, jnp.zeros(u.shape, u.dtype),
-                      jnp.asarray(1.0, ts.dtype))
-
-            def body(carry, inp):
-                u, eps_prev, dt_prev = carry
-                tau, dtau, first_f, e_row, p0_row, p1_row = inp
-                eps_hat = self._eps_eval(u, tau)
-                u_new = self._apply(e_row, u) - self._apply(p0_row, eps_hat)
-                if self.order == 2:
-                    slope = (eps_hat - eps_prev) * (
-                        (1.0 - first_f) / dt_prev).astype(u.dtype)
-                    u_new = u_new - self._apply(p1_row, slope)
-                return (u_new, eps_hat, dtau), None
-
-            (u, _, _), _ = jax.lax.scan(
-                body, carry0, (ta, tb - ta, first, e_tab, psi0, psi1))
+    def segment_finalize(self, carry, ts, denoise=True, eps=1e-3):
+        u = carry[0]
         if denoise:
-            tv = jnp.full((u.shape[0],), jnp.asarray(sde.T - eps, ts.dtype))
-            f, _ = sde.reverse_sde(u, tv, self.score_fn,
-                                   probability_flow=True)
+            tv = jnp.full((u.shape[0],),
+                          jnp.asarray(self.sde.T - eps, ts.dtype))
+            f, _ = self.sde.reverse_sde(u, tv, self.score_fn,
+                                        probability_flow=True)
             u = u + f * jnp.asarray(eps, u.dtype)
         return u
+
+    def sample(self, key, batch, ts, n_discrete_steps, denoise=True,
+               eps=1e-3):
+        del n_discrete_steps
+        carry = self.segment_init(key, batch, ts, denoise, eps)
+        carry, _ = jax.lax.scan(self.segment_body, carry,
+                                self.segment_xs(ts, denoise, eps))
+        return self.segment_finalize(carry, ts, denoise, eps)
 
 
 @register_module(category="samplers", name="cc_ei_ode")
@@ -575,32 +591,44 @@ class RKODESampler(Sampler):
                                     probability_flow=True)
         return f
 
-    def sample(self, key, batch, ts, n_discrete_steps, denoise=True,
-               eps=1e-3):
-        del key, n_discrete_steps
-        x = batch
+    # segmented protocol: the carry is just x (single-step method, no
+    # multistep memory), so segmentation is trivially bit-identical
+    def segment_init(self, key, batch, ts, denoise=True, eps=1e-3):
+        del key  # deterministic sampler
+        return batch
 
-        def body(x, inp):
-            t, t_next = inp
-            dt = t_next - t
-            dt_c = jnp.asarray(dt).astype(x.dtype)
-            k1 = self._drift(x, t)
-            if self.method == "euler":
-                x = x + dt_c * k1
-            elif self.method == "heun":
-                k2 = self._drift(x + dt_c * k1, t_next)
-                x = x + dt_c * 0.5 * (k1 + k2)
-            else:  # rk4
-                half = t + dt / 2
-                k2 = self._drift(x + 0.5 * dt_c * k1, half)
-                k3 = self._drift(x + 0.5 * dt_c * k2, half)
-                k4 = self._drift(x + dt_c * k3, t_next)
-                x = x + dt_c / 6.0 * (k1 + 2 * k2 + 2 * k3 + k4)
-            return x, None
+    def segment_xs(self, ts, denoise=True, eps=1e-3):
+        return (ts[:-1], ts[1:])
 
-        x, _ = jax.lax.scan(body, x, (ts[:-1], ts[1:]))
+    def segment_body(self, x, inp):
+        t, t_next = inp
+        dt = t_next - t
+        dt_c = jnp.asarray(dt).astype(x.dtype)
+        k1 = self._drift(x, t)
+        if self.method == "euler":
+            x = x + dt_c * k1
+        elif self.method == "heun":
+            k2 = self._drift(x + dt_c * k1, t_next)
+            x = x + dt_c * 0.5 * (k1 + k2)
+        else:  # rk4
+            half = t + dt / 2
+            k2 = self._drift(x + 0.5 * dt_c * k1, half)
+            k3 = self._drift(x + 0.5 * dt_c * k2, half)
+            k4 = self._drift(x + dt_c * k3, t_next)
+            x = x + dt_c / 6.0 * (k1 + 2 * k2 + 2 * k3 + k4)
+        return x, None
+
+    def segment_finalize(self, x, ts, denoise=True, eps=1e-3):
         if denoise:
             dt_c = jnp.asarray(eps, ts.dtype)
             x = x + self._drift(x, jnp.asarray(self.sde.T - eps,
                                                ts.dtype)) * dt_c.astype(x.dtype)
         return x
+
+    def sample(self, key, batch, ts, n_discrete_steps, denoise=True,
+               eps=1e-3):
+        del n_discrete_steps
+        carry = self.segment_init(key, batch, ts, denoise, eps)
+        carry, _ = jax.lax.scan(self.segment_body, carry,
+                                self.segment_xs(ts, denoise, eps))
+        return self.segment_finalize(carry, ts, denoise, eps)

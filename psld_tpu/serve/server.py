@@ -114,7 +114,8 @@ class SamplerService:
         # evaluation.nfe_per_dispatch=K: serve the SAME trajectory as K-row
         # chained dispatches (bit-identical; eval/generate.py has the same
         # knob) so big-NFE serving never exceeds a runtime's per-dispatch
-        # watchdog. Only SDE-family samplers segment; others ignore it.
+        # watchdog. Every fixed-grid sampler segments (SDE family, rk_ode,
+        # ei_ode); bb_ode/adaptive_ode ignore it.
         from psld_tpu.samplers.base import supports_segments
 
         nfe_pd = int(ecfg.get("nfe_per_dispatch", 0) or 0)

@@ -59,9 +59,16 @@ def main():
     )
 
     # bf16 mixed precision measured +26% step throughput at <=1e-4 loss
-    # drift (PARITY round-3 section 2) — bench it at the operating point
-    # only (each extra program costs ~5 min of remote compile)
-    for bf16, sizes in ((False, (16, 64, 128)), (True, (128,))):
+    # drift (PARITY round-3 section 2); dropout_impl=hw_inline (the
+    # counter-hash mask regenerated in backward, lowered inline) another
+    # +31% over stock dropout (PARITY round-4 section 1) — bench each at
+    # the operating point only (every extra program costs ~5 min of
+    # remote compile). The last arm is the recommended TPU recipe.
+    for bf16, impl, sizes in ((False, "save_mask", (16, 64, 128)),
+                              (True, "save_mask", (128,)),
+                              (True, "hw_inline", (128,))):
+        cfg.model.score_fn["dropout_impl"] = impl
+        net = build_score_model(cfg)
         cfg.training["bf16"] = bf16
         step_fn, optimizer = make_train_step(net, sde, criterion, cfg,
                                              donate=False)
@@ -84,6 +91,7 @@ def main():
             print(json.dumps({
                 "metric": "train step",
                 "bf16": bf16,
+                "dropout_impl": impl,
                 "batch": bs,
                 "sec_per_step": round(el, 4),
                 "img_per_sec": round(bs / el, 2),

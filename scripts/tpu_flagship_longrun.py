@@ -8,8 +8,9 @@ Fourier embeddings, residual progressive input, dropout 0.15 — the
 reference's scripts_psld/sota/uncond/cifar10/train_uncond_psld.sh
 architecture) trained from scratch on synthetic data for N steps (default
 20k) at bs128 with the production TPU knobs: ``training.bf16=true`` AND
-``model.score_fn.dropout_impl=hw`` (the Pallas counter-hash kernel the
-round-4 convergence gate validates at demo scale). Then samples 256
+``model.score_fn.dropout_impl=hw_inline`` (the counter-hash mask the
+round-4 convergence gate validates at demo scale; the inline lowering
+is bit-identical to the gated ``hw`` arm). Then samples 256
 images at 1000-NFE EM from the settled EMA and gates pixel statistics
 against the data reference.
 
@@ -18,7 +19,7 @@ Usage (TPU host):
       python scripts/tpu_flagship_longrun.py
 Env: PSLD_R3_DIR (default /tmp/psld_r3; uses its data_ref),
      PSLD_FLAGSHIP_STEPS (default 20000),
-     PSLD_FLAGSHIP_DROPOUT_IMPL (default hw).
+     PSLD_FLAGSHIP_DROPOUT_IMPL (default hw_inline).
 Rows -> scripts/results_flagship_longrun.jsonl. Auto-resumes
 (restore_path=latest) if the tunnel dies mid-run — relaunch the same
 command.
@@ -33,7 +34,7 @@ import time
 
 OUT = os.environ.get("PSLD_R3_DIR", "/tmp/psld_r3")
 STEPS = int(os.environ.get("PSLD_FLAGSHIP_STEPS", 20000))
-IMPL = os.environ.get("PSLD_FLAGSHIP_DROPOUT_IMPL", "hw")
+IMPL = os.environ.get("PSLD_FLAGSHIP_DROPOUT_IMPL", "hw_inline")
 RESULTS = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                        "results_flagship_longrun.jsonl")
 

@@ -238,6 +238,68 @@ def phase_nfe1000_bs128():
               "img_per_s": round(bs / el, 4), "mfu": round(mfu, 4)})
 
 
+def phase_ei3_identity():
+    """Order-3 EI-ODE segmentation identity ON CHIP: the CPU test gates
+    o3-below-stability-floor with an allclose (XLA's trip-count-1 scan
+    unrolling contracts FMAs differently there); this records that the
+    TPU backend compiles the chunked scans with identical rounding, so
+    even o3 is bit-exact. Exact-score Gaussian (no network): runs in
+    seconds."""
+    import jax
+    import numpy as np
+
+    sys.path.insert(0, "/root/repo/tests")
+    from test_samplers import make_psld, psld_exact_score_fn
+
+    from psld_tpu.samplers.base import make_timesteps, segmented_sample
+    from psld_tpu.samplers.ode import EIODESampler
+
+    for order in (2, 3):
+        cfg, sde = make_psld(n_steps=20, sampler_extra={
+            "name": "ei_ode", "order": order})
+        s = EIODESampler(cfg, sde, psld_exact_score_fn(sde, 0.8))
+        ts = make_timesteps(20, 1e-3)
+        z = sde.prior_sampling(jax.random.PRNGKey(0), (4, 4, 4, 1))
+        ref = np.asarray(s.sample(jax.random.PRNGKey(11), z, ts, 20))
+        for k in (1, 7):
+            seg = np.asarray(segmented_sample(
+                s, jax.random.PRNGKey(11), z, ts, rows_per_dispatch=k))
+            emit({"phase": "ei3_identity", "order": order,
+                  "rows_per_dispatch": k,
+                  "bit_identical": bool((seg == ref).all()),
+                  "max_abs_diff": float(np.abs(seg - ref).max())})
+
+    # likelihood steps_per_dispatch identity on chip (same unrolling
+    # caveat on CPU — tests/test_likelihood.py gates at 1e-12 there)
+    import jax.numpy as jnp
+
+    from test_likelihood import (SIGMA0, make_vpsde,
+                                 vpsde_gaussian_score_fn)
+
+    from psld_tpu.eval.likelihood import make_likelihood_fn
+
+    sde = make_vpsde()
+    fn = make_likelihood_fn(sde, vpsde_gaussian_score_fn(sde, SIGMA0),
+                            n_steps=16, eps=1e-5, method="heun", n_probes=2)
+    key = jax.random.PRNGKey(5)
+    x = jax.random.normal(key, (4, 4, 4, 1), jnp.float64) * SIGMA0
+    ref = jax.jit(fn)(key, x)
+    ts = np.asarray(fn.segment_ts())
+    xs_full = (ts[:-1], ts[1:])
+    seg_step = jax.jit(lambda c, ch: jax.lax.scan(fn.segment_body, c, ch)[0])
+    for spd in (1, 5):
+        carry = jax.jit(fn.segment_init)(key, x)
+        for i in range(0, ts.shape[0] - 1, spd):
+            carry = seg_step(carry, tuple(a[i:i + spd] for a in xs_full))
+        out = jax.jit(fn.segment_finalize)(carry)
+        emit({"phase": "seg_identity", "mode": "likelihood",
+              "steps_per_dispatch": spd,
+              "bit_identical": bool(
+                  (np.asarray(out["logp"]) == np.asarray(ref["logp"])).all()),
+              "max_abs_diff": float(np.abs(
+                  np.asarray(out["logp"]) - np.asarray(ref["logp"])).max())})
+
+
 def main():
     import psld_tpu
 
@@ -248,7 +310,8 @@ def main():
     phases = sys.argv[1:] or ["hw_step", "nfe1000_bs128"]
     for ph in phases:
         {"hw_step": phase_hw_step,
-         "nfe1000_bs128": phase_nfe1000_bs128}[ph]()
+         "nfe1000_bs128": phase_nfe1000_bs128,
+         "ei3_identity": phase_ei3_identity}[ph]()
     emit({"phase": "r4_measure_done"})
 
 

@@ -163,6 +163,37 @@ def test_sample_rk_ode(trained, workdir):
     assert len(glob.glob(f"{save}/images/*.png")) == 4
 
 
+def test_sample_ei_ode_nfe_per_dispatch_bit_identical(trained, workdir):
+    """evaluation.nfe_per_dispatch for a FIXED-GRID ODE sampler through
+    the production sample() path: ei_ode's multistep eps memory rides the
+    scan carry, so segmentation must write byte-identical PNGs to the
+    single-scan run (the SDE family was covered in round 4; this pins the
+    deterministic family too)."""
+    from psld_tpu.eval.generate import sample
+    from psld_tpu.config import compose
+
+    results, ckpt_path, argv = trained
+    outs = {}
+    for tag, extra in (("whole", []),
+                       ("seg", ["+dataset.diffusion.evaluation."
+                                "nfe_per_dispatch=3"])):
+        save = str(workdir / f"samples_ei_nfepd_{tag}")
+        cfg = compose(argv + [
+            f"dataset.diffusion.evaluation.chkpt_path={ckpt_path}",
+            f"dataset.diffusion.evaluation.save_path={save}",
+            "dataset.diffusion.evaluation.sampler.name=ei_ode",
+            "+dataset.diffusion.evaluation.sampler.order=2",
+            "dataset.diffusion.evaluation.n_samples=4",
+        ] + extra)
+        assert sample(cfg.dataset.diffusion) == 4
+        outs[tag] = sorted(glob.glob(f"{save}/images/*.png"))
+    assert len(outs["whole"]) == len(outs["seg"]) == 4
+    for a, b in zip(outs["whole"], outs["seg"]):
+        assert os.path.basename(a) == os.path.basename(b)
+        with open(a, "rb") as fa, open(b, "rb") as fb:
+            assert fa.read() == fb.read(), a
+
+
 def test_sample_from_online_weights(trained, workdir):
     """evaluation.sample_from=source loads the online (non-EMA) params
     (reference eval/sample.py:38-69)."""

@@ -71,6 +71,85 @@ def test_vpsde_exact_gaussian_nll():
     assert float(jnp.std(out["z_T"])) == pytest.approx(1.0, abs=0.35)
 
 
+@pytest.mark.parametrize("steps_per_dispatch", [1, 5, 100])
+def test_segmented_likelihood_bit_identical(steps_per_dispatch):
+    """evaluation.likelihood.steps_per_dispatch: chaining the SAME scan
+    body over host-sliced grid chunks (probes riding the carry) must
+    reproduce the single-scan NLL — the likelihood analogue of the
+    samplers' nfe_per_dispatch. On the CPU backend XLA unrolls
+    short-trip-count scans and contracts FMAs differently inside the
+    unrolled body (the same effect the ei_ode o3 test gates), leaving a
+    1-2 ULP f64 residue — gated here at 1e-12 relative; the TPU backend
+    compiles the chunked scans with identical rounding (on-chip
+    `seg_identity` rows record likelihood bit-exactness,
+    scripts/results_ei3_rows.jsonl)."""
+    sde = make_vpsde()
+    fn = make_likelihood_fn(sde, vpsde_gaussian_score_fn(sde, SIGMA0),
+                            n_steps=16, eps=EPS, method="heun", n_probes=2)
+    key = jax.random.PRNGKey(5)
+    x = jax.random.normal(key, (4, 4, 4, 1), jnp.float64) * SIGMA0
+    ref = jax.jit(fn)(key, x)
+
+    ts = np.asarray(fn.segment_ts())
+    xs_full = (ts[:-1], ts[1:])
+    carry = jax.jit(fn.segment_init)(key, x)
+    seg = jax.jit(lambda c, ch: jax.lax.scan(fn.segment_body, c, ch)[0])
+    for i in range(0, ts.shape[0] - 1, steps_per_dispatch):
+        chunk = tuple(a[i:i + steps_per_dispatch] for a in xs_full)
+        carry = seg(carry, chunk)
+    out = jax.jit(fn.segment_finalize)(carry)
+    for k in ("logp", "prior_logp", "delta_logp", "z_T"):
+        np.testing.assert_allclose(np.asarray(out[k]), np.asarray(ref[k]),
+                                   rtol=1e-12, atol=1e-12, err_msg=k)
+
+
+def test_evaluate_nll_steps_per_dispatch_matches(tmp_path):
+    """The evaluate_nll entry point honors
+    evaluation.likelihood.steps_per_dispatch and returns the SAME
+    bits/dim as the single-scan path (same seeds, same probes)."""
+    import glob
+
+    import psld_tpu
+
+    psld_tpu.import_modules_into_registry()
+    from psld_tpu.config import compose
+    from psld_tpu.eval.likelihood import evaluate_nll
+    from psld_tpu.train.loop import train_sde
+
+    results = str(tmp_path / "results")
+    argv = [
+        "+dataset=cifar10/cifar10_psld",
+        f"dataset.diffusion.data.root={tmp_path}",
+        f"dataset.diffusion.training.results_dir={results}",
+        "dataset.diffusion.data.name=synthetic",
+        "dataset.diffusion.data.image_size=16",
+        "dataset.diffusion.model.score_fn.nf=8",
+        "dataset.diffusion.model.score_fn.ch_mult=[1,2]",
+        "dataset.diffusion.model.score_fn.num_res_blocks=1",
+        "dataset.diffusion.model.score_fn.attn_resolutions=[8]",
+        "dataset.diffusion.training.batch_size=4",
+        "dataset.diffusion.training.epochs=1",
+        "dataset.diffusion.training.chkpt_interval=1",
+    ]
+    train_sde(compose(argv).dataset.diffusion, max_steps=2)
+    ckpt_path = [c for c in glob.glob(f"{results}/checkpoints/psld-*")
+                 if not c.endswith(".meta.json")][0]
+
+    vals = {}
+    for tag, extra in (("whole", []),
+                       ("seg", ["+dataset.diffusion.evaluation."
+                                "likelihood.steps_per_dispatch=3"])):
+        cfg = compose(argv + [
+            f"dataset.diffusion.evaluation.chkpt_path={ckpt_path}",
+            "+dataset.diffusion.evaluation.likelihood.n_steps=8",
+            "+dataset.diffusion.evaluation.likelihood.solver=heun",
+            "dataset.diffusion.evaluation.batch_size=2",
+            "dataset.diffusion.evaluation.n_samples=2",
+        ] + extra)
+        vals[tag] = evaluate_nll(cfg.dataset.diffusion, max_batches=1)
+    assert vals["seg"] == pytest.approx(vals["whole"], rel=0, abs=1e-9)
+
+
 def test_hutchinson_matches_exact_for_linear_drift():
     sde = make_vpsde()
     score = vpsde_gaussian_score_fn(sde, SIGMA0)
