@@ -261,15 +261,8 @@ def _run_sampler(config, sde, sampler_factory, params, writer, batch_source,
         if jit_cache is not None and cache_key in jit_cache:
             sample_jit = jit_cache[cache_key]
         elif nfe_pd > 0:
-            # segmented: (init, K x scan-chunk, finalize) jits; grid rows
-            # are host-sliced once (xs is concrete — ts is), so chunks of
+            # segmented: (init, K x scan-chunk, finalize) jits; chunks of
             # equal length share one compiled program (<= 2 programs)
-            xs_full = sampler_factory(params).segment_xs(ts, denoise, eps)
-            n_rows = int(jax.tree_util.tree_leaves(xs_full)[0].shape[0])
-            chunks = [jax.tree_util.tree_map(
-                lambda a: a[i:i + nfe_pd], xs_full)
-                for i in range(0, n_rows, nfe_pd)]
-
             if latent is not None:
                 def _init(params, k, ts_):
                     b = latent.sample_batch(k, per_step)
@@ -290,7 +283,7 @@ def _run_sampler(config, sde, sampler_factory, params, writer, batch_source,
                     carry, ts_, denoise, eps)
 
             sample_jit = ("seg", jax.jit(_init), jax.jit(_seg),
-                          jax.jit(_fin), chunks)
+                          jax.jit(_fin))
             if jit_cache is not None:
                 jit_cache[cache_key] = sample_jit
         else:
@@ -313,14 +306,25 @@ def _run_sampler(config, sde, sampler_factory, params, writer, batch_source,
             if jit_cache is not None:
                 jit_cache[cache_key] = sample_jit
 
+        chunks = None
+        if isinstance(sample_jit, tuple) and sample_jit[0] == "seg":
+            # grid rows are host-sliced from the CURRENT ts on every
+            # _run_sampler call — a jit_cache hit across stride VALUES
+            # (the cache_key deliberately omits them; the jits trace ts /
+            # the chunk rows) must not reuse a previous grid's chunks
+            from psld_tpu.samplers.base import slice_segments
+
+            chunks = slice_segments(
+                sampler_factory(params).segment_xs(ts, denoise, eps), nfe_pd)
+
         def _dispatch(p, k_batch, batch):
             """One full trajectory: single scan, or the chained segmented
             dispatches (every call is async — segments queue back-to-back)."""
-            if not (isinstance(sample_jit, tuple) and sample_jit[0] == "seg"):
+            if chunks is None:
                 if latent is not None:
                     return sample_jit(p, k_batch, ts)
                 return sample_jit(p, k_batch, batch, ts)
-            _, init_jit, seg_jit, fin_jit, chunks = sample_jit
+            _, init_jit, seg_jit, fin_jit = sample_jit
             carry = (init_jit(p, k_batch, ts) if latent is not None
                      else init_jit(p, k_batch, batch, ts))
             for chunk in chunks:

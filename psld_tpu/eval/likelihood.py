@@ -283,27 +283,36 @@ def evaluate_nll(config, max_batches: int | None = None):
                        if max_batches is not None else cap_batches)
 
     if spd > 0:
-        ts = np.asarray(make_lik(params).segment_ts())
-        xs_full = (ts[:-1], ts[1:])
-        chunks = [tuple(a[i:i + spd] for a in xs_full)
-                  for i in range(0, ts.shape[0] - 1, spd)]
-        init_jit = jax.jit(lambda p, k, z: make_lik(p).segment_init(k, z))
+        from psld_tpu.samplers.base import slice_segments
+
+        ts = make_lik(params).segment_ts()
+        # device-resident once — the grid never changes across batches
+        chunks = slice_segments((jnp.asarray(ts[:-1]), jnp.asarray(ts[1:])),
+                                spd)
+
+        def _init(p, k, x):
+            # fold the variational momentum draw into the same jit so the
+            # augmented path (PSLD's default) stays off the eager dispatch
+            # floor — only the final entropy subtraction runs on host
+            lik = make_lik(p)
+            if sde.is_augmented:
+                z, k_l = augmented_draw(sde, k, x)
+                return lik.segment_init(k_l, z)
+            return lik.segment_init(k, x)
+
+        init_jit = jax.jit(_init)
         seg_jit = jax.jit(lambda p, c, ch: jax.lax.scan(
             make_lik(p).segment_body, c, ch)[0])
-        fin_jit = jax.jit(lambda p, c: make_lik(p).segment_finalize(c))
-
-        def lik_segmented(k, z):
-            carry = init_jit(params, k, z)
-            for ch in chunks:
-                carry = seg_jit(params, carry, jax.tree_util.tree_map(
-                    jnp.asarray, ch))
-            return fin_jit(params, carry)
+        fin_jit = jax.jit(lambda p, c: -make_lik(p).segment_finalize(
+            c)["logp"])
 
         def nll_call(k, x):
+            carry = init_jit(params, k, x)
+            for ch in chunks:
+                carry = seg_jit(params, carry, ch)
+            nll = fin_jit(params, carry)
             if sde.is_augmented:
-                nll, _ = augmented_nll_bound(sde, lik_segmented, k, x)
-            else:
-                nll = -lik_segmented(k, x)["logp"]
+                nll = nll - augmented_entropy_q(sde, x.shape)
             return nll
     else:
         nll_call = lambda k, x: nll_jit(params, k, x)
@@ -327,15 +336,26 @@ def evaluate_nll(config, max_batches: int | None = None):
     return bpd
 
 
+def augmented_draw(sde, key, x):
+    """The variational bound's momentum draw: ``m ~ q = N(0, mm_0 I)``
+    concatenated onto ``x`` in phase space; returns (z, key for the
+    likelihood integral)."""
+    k_m, k_l = jax.random.split(key)
+    m = jax.random.normal(k_m, x.shape, x.dtype) * np.sqrt(sde.mm_0)
+    return jnp.concatenate([x, m], axis=-1), k_l
+
+
+def augmented_entropy_q(sde, x_shape) -> float:
+    """Entropy of the momentum proposal q (nats per sample)."""
+    dim_m = int(np.prod(x_shape[1:]))
+    return 0.5 * dim_m * (np.log(2.0 * np.pi * sde.mm_0) + 1.0)
+
+
 def augmented_nll_bound(sde, likelihood_fn, key, x):
     """Variational upper bound on the data NLL for augmented (phase-space)
     SDEs: draw ``m ~ q = N(0, mm_0 I)``, evaluate the exact joint NLL, and
     subtract the entropy of ``q``. Returns (nll_bound, aux dict)."""
-    k_m, k_l = jax.random.split(key)
-    m = jax.random.normal(k_m, x.shape, x.dtype) * np.sqrt(sde.mm_0)
-    z = jnp.concatenate([x, m], axis=-1)
+    z, k_l = augmented_draw(sde, key, x)
     out = likelihood_fn(k_l, z)
-    dim_m = int(np.prod(x.shape[1:]))
-    entropy_q = 0.5 * dim_m * (np.log(2.0 * np.pi * sde.mm_0) + 1.0)
-    nll_bound = -out["logp"] - entropy_q
+    nll_bound = -out["logp"] - augmented_entropy_q(sde, x.shape)
     return nll_bound, out

@@ -94,7 +94,7 @@ def _hash_bits(s0, s1, r, l):
 
 
 def _mask_kernel(seed_ref, off_ref, x_ref, o_ref, *, threshold: int,
-                 scale: float, n_seed: int):
+                 scale: float):
     s0, s1 = _fold_seed(seed_ref)
     rows, lanes = x_ref.shape
     pid = pl.program_id(0).astype(jnp.uint32)
@@ -125,8 +125,7 @@ def _mask_apply(x, seed, elem_off, threshold: int, scale: float,
                             memory_space=pltpu.VMEM)
         row_off = (elem_off >> jnp.uint32(7)).reshape(1)
         out = pl.pallas_call(
-            partial(_mask_kernel, threshold=threshold, scale=scale,
-                    n_seed=seed.shape[0]),
+            partial(_mask_kernel, threshold=threshold, scale=scale),
             grid=(pl.cdiv(rows, _ROW_TILE),),
             in_specs=[pl.BlockSpec(seed.shape, lambda i: (i * 0,),
                                    memory_space=pltpu.SMEM),

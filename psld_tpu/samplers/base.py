@@ -40,6 +40,18 @@ def supports_segments(sampler) -> bool:
                 "segment_finalize"))
 
 
+def slice_segments(xs, rows_per_dispatch: int):
+    """Host-slice a segmented sampler's ``segment_xs`` pytree into
+    ceil(n_rows / rows_per_dispatch) row chunks — the one place the
+    dispatch-boundary arithmetic lives (generate/serve/likelihood and
+    :func:`segmented_sample` all chain these chunks through the same
+    scan body). Chunks of equal length share one compiled program."""
+    n_rows = int(jax.tree_util.tree_leaves(xs)[0].shape[0])
+    step = rows_per_dispatch if rows_per_dispatch > 0 else n_rows
+    return [jax.tree_util.tree_map(lambda a: a[i:i + step], xs)
+            for i in range(0, n_rows, step)]
+
+
 def segmented_sample(sampler, key, batch, ts, denoise=True, eps=1e-3,
                      rows_per_dispatch: int = 0):
     """``sampler.sample`` split into ceil(n_rows / rows_per_dispatch)
@@ -53,10 +65,7 @@ def segmented_sample(sampler, key, batch, ts, denoise=True, eps=1e-3,
     """
     carry = sampler.segment_init(key, batch, ts, denoise, eps)
     xs = sampler.segment_xs(ts, denoise, eps)
-    n_rows = int(jax.tree_util.tree_leaves(xs)[0].shape[0])
-    step = rows_per_dispatch if rows_per_dispatch > 0 else n_rows
-    for i in range(0, n_rows, step):
-        chunk = jax.tree_util.tree_map(lambda a: a[i:i + step], xs)
+    for chunk in slice_segments(xs, rows_per_dispatch):
         carry, _ = jax.lax.scan(sampler.segment_body, carry, chunk)
     return sampler.segment_finalize(carry, ts, denoise, eps)
 

@@ -119,12 +119,20 @@ class SamplerService:
         from psld_tpu.samplers.base import supports_segments
 
         nfe_pd = int(ecfg.get("nfe_per_dispatch", 0) or 0)
+        if nfe_pd > 0 and not supports_segments(_make(params)):
+            # same situation warns in eval/generate.py:244 — an operator
+            # relying on the knob to stay under a dispatch watchdog must
+            # hear that the monolithic program is what will run
+            logger.warning(
+                "evaluation.nfe_per_dispatch=%d ignored: sampler %s has "
+                "no segmented scan (fixed-grid samplers only; bb_ode and "
+                "adaptive_ode cannot be row-segmented)", nfe_pd,
+                str(ecfg.sampler.name))
         if nfe_pd > 0 and supports_segments(_make(params)):
-            probe = _make(params)
-            xs = probe.segment_xs(ts, self.denoise, eps)
-            n_rows = int(jax.tree_util.tree_leaves(xs)[0].shape[0])
-            chunks = [jax.tree_util.tree_map(lambda a: a[i:i + nfe_pd], xs)
-                      for i in range(0, n_rows, nfe_pd)]
+            from psld_tpu.samplers.base import slice_segments
+
+            chunks = slice_segments(
+                _make(params).segment_xs(ts, self.denoise, eps), nfe_pd)
             init_jit = jax.jit(lambda p, k, z: _make(p).segment_init(
                 k, z, ts, self.denoise, eps))
             seg_jit = jax.jit(lambda p, c, ch: jax.lax.scan(

@@ -1,0 +1,52 @@
+#!/bin/bash
+# EXTENSION recipe (TPU production variant of
+# scripts/sota/uncond/cifar10/train_uncond_psld.sh — that file mirrors the
+# reference override set verbatim; this one adds the measured TPU knobs):
+#   training.bf16=true            +26% step throughput, loss drift <=1e-4
+#                                 (PARITY round-3 section 2)
+#   dropout_impl=hw_inline        +31% over stock dropout: the counter-hash
+#                                 mask regenerated in the backward pass,
+#                                 lowered inline so XLA fuses it into the
+#                                 conv epilogues (581 img/s / 64.4% MFU at
+#                                 bs128; convergence-gated — PARITY round-4
+#                                 section 1, flagship 20k-step longrun)
+#   batch_size=128                fills the v5e MXU (the reference's bs16 is
+#                                 a V100 memory artifact; LR is unchanged —
+#                                 the recipe's Adam+warmup absorbs it)
+#   steps_per_dispatch=8          amortizes host->device dispatch latency on
+#                                 tunneled runtimes (5x wall-clock, CLAUDE.md)
+# Set DATA_ROOT / RESULTS_DIR before running.
+python -m psld_tpu.cli.train_sde +dataset=cifar10/cifar10_psld \
+    dataset.diffusion.data.root=${DATA_ROOT} \
+    dataset.diffusion.data.name='cifar10' \
+    dataset.diffusion.data.norm=True \
+    dataset.diffusion.data.hflip=True \
+    dataset.diffusion.model.score_fn.in_ch=6 \
+    dataset.diffusion.model.score_fn.out_ch=6 \
+    dataset.diffusion.model.score_fn.nf=128 \
+    dataset.diffusion.model.score_fn.ch_mult='[2,2,2]' \
+    dataset.diffusion.model.score_fn.num_res_blocks=8 \
+    dataset.diffusion.model.score_fn.attn_resolutions='[16]' \
+    dataset.diffusion.model.score_fn.dropout=0.15 \
+    dataset.diffusion.model.score_fn.progressive_input='residual' \
+    dataset.diffusion.model.score_fn.fir=True \
+    dataset.diffusion.model.score_fn.embedding_type='fourier' \
+    +dataset.diffusion.model.score_fn.dropout_impl=hw_inline \
+    dataset.diffusion.model.sde.beta_min=8.0 \
+    dataset.diffusion.model.sde.beta_max=8.0 \
+    dataset.diffusion.model.sde.decomp_mode='lower' \
+    dataset.diffusion.model.sde.nu=4.01 \
+    dataset.diffusion.model.sde.gamma=0.01 \
+    dataset.diffusion.model.sde.kappa=0.04 \
+    dataset.diffusion.training.seed=0 \
+    dataset.diffusion.training.chkpt_interval=50 \
+    dataset.diffusion.training.mode='hsm' \
+    dataset.diffusion.training.use_ema=True \
+    dataset.diffusion.training.batch_size=128 \
+    dataset.diffusion.training.epochs=2500 \
+    dataset.diffusion.training.restore_path=latest \
+    +dataset.diffusion.training.bf16=true \
+    +dataset.diffusion.training.steps_per_dispatch=8 \
+    dataset.diffusion.training.results_dir=${RESULTS_DIR} \
+    dataset.diffusion.training.workers=1 \
+    dataset.diffusion.training.chkpt_prefix="hsm_gamma=0.01_nu=4.01_cifar10_continuous_sfn=ncsnpp_3rdFeb"

@@ -194,6 +194,46 @@ def test_sample_ei_ode_nfe_per_dispatch_bit_identical(trained, workdir):
             assert fa.read() == fb.read(), a
 
 
+def test_segmented_jit_cache_not_poisoned_across_strides(trained, workdir):
+    """Regression: the sweep shares one jit_cache across stride VALUES
+    (same sampler/NFE -> same cache_key, eval/sweep.py:101-119). The
+    segmented path must re-slice its dispatch chunks from the CURRENT
+    grid on a cache hit — an early round-4 version baked the first
+    stride's concrete ts rows into the cached entry, silently sampling
+    every later stride on the wrong timestep grid."""
+    from psld_tpu.config import compose
+    from psld_tpu.eval.generate import sample
+
+    results, ckpt_path, argv = trained
+
+    def png_bytes(save):
+        return [open(p, "rb").read()
+                for p in sorted(glob.glob(f"{save}/images/*.png"))]
+
+    shared_cache = {}
+    outs = {}
+    for stride in ("quadratic", "uniform"):
+        for tag, extra, cache in (
+                ("whole", [], None),
+                ("seg", ["+dataset.diffusion.evaluation.nfe_per_dispatch=2"],
+                 shared_cache)):
+            save = str(workdir / f"samples_cache_{stride}_{tag}")
+            cfg = compose(argv + [
+                f"dataset.diffusion.evaluation.chkpt_path={ckpt_path}",
+                f"dataset.diffusion.evaluation.save_path={save}",
+                f"dataset.diffusion.evaluation.stride_type={stride}",
+                "dataset.diffusion.evaluation.n_samples=2",
+            ] + extra)
+            assert sample(cfg.dataset.diffusion, jit_cache=cache) == 2
+            outs[(stride, tag)] = png_bytes(save)
+    # the segmented run must match its own stride's unsegmented output...
+    for stride in ("quadratic", "uniform"):
+        assert outs[(stride, "seg")] == outs[(stride, "whole")], stride
+    # ...and the two strides genuinely differ (the poisoned cache made
+    # them identical)
+    assert outs[("uniform", "seg")] != outs[("quadratic", "seg")]
+
+
 def test_sample_from_online_weights(trained, workdir):
     """evaluation.sample_from=source loads the online (non-EMA) params
     (reference eval/sample.py:38-69)."""
