@@ -1,7 +1,8 @@
 """Sampling batch-size sweep between the two measured bench points.
 
 The headline bench (bs64 EM-1000 bf16) measures 79.4% MFU and bs128
-76.4% — nothing between was ever measured. If bs128's loss is capacity
+77.1% (measured segmented, results_r4.jsonl `bs128_nfe1000_seg`) —
+nothing between was ever measured. If bs128's loss is capacity
 (activation spill), an intermediate batch could beat bs64 and raise the
 driver headline; if it's a tiling effect, the curve is monotone and bs64
 stays the optimum. Segmented dispatches (evaluation.nfe_per_dispatch
@@ -16,12 +17,12 @@ Rows -> scripts/results_r4.jsonl (phase "bs_sweep_sampling").
 from __future__ import annotations
 
 import sys
-import time
 
 sys.path.insert(0, "/root/repo")
 sys.path.insert(0, "/root/repo/scripts")
 
-from tpu_r4_measure import V5E_PEAK, _build_sampler, emit  # noqa: E402
+from tpu_r4_measure import (V5E_PEAK, _build_sampler, emit,  # noqa: E402
+                            seg_run)
 
 # XLA cost model scales linearly in batch (verified at 64/128:
 # 4.653 / 9.306 TFLOP) — interpolate for intermediate batches.
@@ -29,35 +30,11 @@ FWD_TFLOPS_PER_IMG = 4.653 / 64
 
 
 def sweep(bs: int, nfe: int = 1000, nfe_pd: int = 200):
-    import jax
     import numpy as np
 
     cfg, sde, factory, params, make_timesteps = _build_sampler(bs)
-    n_eff = nfe - 1
-    ts = make_timesteps(n_eff, 1e-3)
-    probe = factory(params)
-    xs = probe.segment_xs(ts, True, 1e-3)
-    n_rows = int(jax.tree_util.tree_leaves(xs)[0].shape[0])
-    chunks = [jax.tree_util.tree_map(lambda a: a[i:i + nfe_pd], xs)
-              for i in range(0, n_rows, nfe_pd)]
-    seg = jax.jit(lambda p, c, ch: jax.lax.scan(
-        factory(p).segment_body, c, ch)[0])
-    fin = jax.jit(lambda p, c, ts_: factory(p).segment_finalize(
-        c, ts_, True, 1e-3))
-    z = sde.prior_sampling(jax.random.PRNGKey(1), (bs, 32, 32, 3))
-
-    def run(key):
-        carry = (z, key)
-        for ch in chunks:
-            carry = seg(params, carry, ch)
-        return np.asarray(fin(params, carry, ts))
-
-    t0 = time.time()
-    out = run(jax.random.PRNGKey(2))  # compile + warm
-    compile_s = time.time() - t0
-    t0 = time.time()
-    out = run(jax.random.PRNGKey(3))
-    el = time.time() - t0
+    compile_s, el, out = seg_run(factory, params, sde, make_timesteps,
+                                 bs, nfe, nfe_pd)
     assert np.isfinite(out).all()
     mfu = FWD_TFLOPS_PER_IMG * bs * nfe * 1e12 / el / V5E_PEAK
     emit({"phase": "bs_sweep_sampling", "batch": bs, "nfe": nfe,

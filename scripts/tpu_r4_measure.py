@@ -141,6 +141,45 @@ def phase_hw_step():
               "mfu": round(STEP_TFLOPS_BS128 * 1e12 / el / V5E_PEAK, 4)})
 
 
+def seg_run(factory, params, sde, make_timesteps, bs, nfe, nfe_pd,
+            n_timing=1):
+    """Segmented EM sampling run (evaluation.nfe_per_dispatch mechanics
+    hand-rolled for measurement scripts): returns (compile_s, sec/run,
+    final batch).  Shared by phase_nfe1000_bs128 and
+    scripts/tpu_bs_sweep_sampling.py so the chunking/jit/timing logic has
+    exactly one copy."""
+    import jax
+    import numpy as np
+
+    n_eff = nfe - 1
+    ts = make_timesteps(n_eff, 1e-3)
+    probe = factory(params)
+    xs = probe.segment_xs(ts, True, 1e-3)
+    n_rows = int(jax.tree_util.tree_leaves(xs)[0].shape[0])
+    chunks = [jax.tree_util.tree_map(lambda a: a[i:i + nfe_pd], xs)
+              for i in range(0, n_rows, nfe_pd)]
+    seg = jax.jit(lambda p, c, ch: jax.lax.scan(
+        factory(p).segment_body, c, ch)[0])
+    fin = jax.jit(lambda p, c, ts_: factory(p).segment_finalize(
+        c, ts_, True, 1e-3))
+    z = sde.prior_sampling(jax.random.PRNGKey(1), (bs, 32, 32, 3))
+
+    def run(key):
+        carry = (z, key)
+        for ch in chunks:
+            carry = seg(params, carry, ch)
+        return np.asarray(fin(params, carry, ts))
+
+    t0 = time.time()
+    out = run(jax.random.PRNGKey(2))  # compile + warm
+    compile_s = time.time() - t0
+    t0 = time.time()
+    for _ in range(n_timing):
+        out = run(jax.random.PRNGKey(3))
+    el = (time.time() - t0) / n_timing
+    return compile_s, el, out
+
+
 def _build_sampler(bs):
     import jax
     import jax.numpy as jnp
@@ -185,35 +224,13 @@ def phase_nfe1000_bs128():
 
     cfg, sde, factory, params, make_timesteps = _build_sampler(128)
 
-    def seg_run(bs, nfe, nfe_pd, n_timing=1, validate=False):
-        n_eff = nfe - 1
-        ts = make_timesteps(n_eff, 1e-3)
-        probe = factory(params)
-        xs = probe.segment_xs(ts, True, 1e-3)
-        n_rows = int(jax.tree_util.tree_leaves(xs)[0].shape[0])
-        chunks = [jax.tree_util.tree_map(lambda a: a[i:i + nfe_pd], xs)
-                  for i in range(0, n_rows, nfe_pd)]
-        seg = jax.jit(lambda p, c, ch: jax.lax.scan(
-            factory(p).segment_body, c, ch)[0])
-        fin = jax.jit(lambda p, c, ts_: factory(p).segment_finalize(
-            c, ts_, True, 1e-3))
-        z = sde.prior_sampling(jax.random.PRNGKey(1), (bs, 32, 32, 3))
-
-        def run(key):
-            carry = (z, key)
-            for ch in chunks:
-                carry = seg(params, carry, ch)
-            return np.asarray(fin(params, carry, ts))
-
-        out = run(jax.random.PRNGKey(2))  # compile + warm
-        t0 = time.time()
-        for i in range(n_timing):
-            out = run(jax.random.PRNGKey(3))
-        el = (time.time() - t0) / n_timing
+    def _seg(bs, nfe, nfe_pd):
+        _, el, out = seg_run(factory, params, sde, make_timesteps,
+                             bs, nfe, nfe_pd)
         return el, out
 
     # 1) on-chip bit-identity at a watchdog-safe point (bs64, NFE 250)
-    el_seg, out_seg = seg_run(64, 250, 50)
+    el_seg, out_seg = _seg(64, 250, 50)
     single = jax.jit(lambda p, k, z, ts_: factory(p).sample(
         k, z, ts_, 249, denoise=True, eps=1e-3))
     ts250 = make_timesteps(249, 1e-3)
@@ -229,7 +246,7 @@ def phase_nfe1000_bs128():
 
     # 2) the previously-unmeasurable point: bs128 x NFE-1000, directly
     for bs, nfe_pd in ((128, 250), (64, 250)):
-        el, out = seg_run(bs, 1000, nfe_pd)
+        el, out = _seg(bs, 1000, nfe_pd)
         assert np.isfinite(out).all()
         mfu = FWD_TFLOPS[bs] * 1000 * 1e12 / el / V5E_PEAK
         emit({"phase": "nfe1000_bs128", "cell": f"bs{bs}_nfe1000_seg",
