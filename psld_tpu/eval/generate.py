@@ -239,13 +239,11 @@ def _run_sampler(config, sde, sampler_factory, params, writer, batch_source,
     else:
         from psld_tpu.samplers.base import supports_segments
 
-        if nfe_pd > 0 and (reports_nfe or
-                           not supports_segments(sampler_factory(params))):
+        if nfe_pd > 0 and not reports_nfe and \
+                not supports_segments(sampler_factory(params)):
             logger.warning(
                 "evaluation.nfe_per_dispatch=%d ignored: sampler %s has no "
-                "segmented scan (fixed-grid samplers only; bb_ode and "
-                "adaptive_ode cannot be row-segmented)", nfe_pd,
-                sampler_name)
+                "segmented scan", nfe_pd, sampler_name)
             nfe_pd = 0
         # per_step and b_sharding are baked into the compiled closure, so
         # they must be part of the cache identity too
@@ -258,8 +256,49 @@ def _run_sampler(config, sde, sampler_factory, params, writer, batch_source,
                      str(ecfg.sampler.get("corrector", "none")),
                      int(ecfg.sampler.get("corrector_steps", 1)),
                      float(ecfg.sampler.get("corrector_snr", 0.16)))
-        if jit_cache is not None and cache_key in jit_cache:
+        # Segmented programs are NFE-independent: the scan body is traced
+        # per chunk SHAPE (shared across NFE values with the same
+        # nfe_per_dispatch), and init/finalize receive a 1-row slice of the
+        # grid (the segment contract allows ts use for dtype only,
+        # samplers/base.py) — so a sampler x NFE sweep compiles each
+        # sampler's programs ONCE instead of once per NFE. This is what
+        # makes the FID-vs-NFE study cheap on remote-compile backends.
+        seg_sig = cache_key[:1] + ("segfns",) + cache_key[2:]  # drop n_eff
+        if nfe_pd > 0 and not reports_nfe and jit_cache is not None \
+                and seg_sig in jit_cache:
+            sample_jit = jit_cache[seg_sig]
+        elif jit_cache is not None and cache_key in jit_cache:
             sample_jit = jit_cache[cache_key]
+        elif nfe_pd > 0 and reports_nfe:
+            # adaptive_ode bounded-dispatch protocol: the while_loop carry
+            # (y, k1, t, h, nfe, steps) chains across host dispatches, each
+            # capped at nfe_per_dispatch // 6 controller iterations (6 NFE
+            # per iteration) — the adaptive analogue of the fixed-grid
+            # segmentation, bit-identical to the unbounded loop
+            # (samplers/ode.py adaptive_init/run/finalize).
+            iters_pd = max(1, nfe_pd // 6)
+
+            if latent is not None:
+                def _ainit(params, k, ts_):
+                    b = latent.sample_batch(k, per_step)
+                    b = jax.lax.with_sharding_constraint(b, b_sharding)
+                    return sampler_factory(params).adaptive_init(b, eps)
+            else:
+                def _ainit(params, k, b, ts_):
+                    return sampler_factory(params).adaptive_init(b, eps)
+
+            def _arun(params, carry):
+                return sampler_factory(params).adaptive_run(
+                    carry, eps, max_iters=iters_pd)
+
+            def _afin(params, carry):
+                return sampler_factory(params).adaptive_finalize(
+                    carry, denoise=denoise, eps=eps)
+
+            sample_jit = ("adaseg", jax.jit(_ainit), jax.jit(_arun),
+                          jax.jit(_afin))
+            if jit_cache is not None:
+                jit_cache[cache_key] = sample_jit
         elif nfe_pd > 0:
             # segmented: (init, K x scan-chunk, finalize) jits; chunks of
             # equal length share one compiled program (<= 2 programs)
@@ -285,7 +324,7 @@ def _run_sampler(config, sde, sampler_factory, params, writer, batch_source,
             sample_jit = ("seg", jax.jit(_init), jax.jit(_seg),
                           jax.jit(_fin))
             if jit_cache is not None:
-                jit_cache[cache_key] = sample_jit
+                jit_cache[seg_sig] = sample_jit
         else:
             def _sample_with(s, k, b, ts_):
                 if reports_nfe:
@@ -318,18 +357,38 @@ def _run_sampler(config, sde, sampler_factory, params, writer, batch_source,
                 sampler_factory(params).segment_xs(ts, denoise, eps), nfe_pd)
 
         def _dispatch(p, k_batch, batch):
-            """One full trajectory: single scan, or the chained segmented
-            dispatches (every call is async — segments queue back-to-back)."""
+            """One full trajectory: single scan, the chained segmented
+            dispatches (every call is async — segments queue back-to-back),
+            or the adaptive bounded-dispatch loop (each dispatch syncs on
+            the scalar t to decide whether the solve is done)."""
+            if isinstance(sample_jit, tuple) and sample_jit[0] == "adaseg":
+                _, init_jit, run_jit, fin_jit = sample_jit
+                carry = (init_jit(p, k_batch, ts) if latent is not None
+                         else init_jit(p, k_batch, batch, ts))
+                t_end_val = float(sde.T) - eps
+                max_steps = sampler_factory(params).max_steps
+                while True:
+                    carry = run_jit(p, carry)
+                    # same predicate as the in-program cond: scalar fetch
+                    if not (float(carry[2]) < t_end_val
+                            and int(carry[5]) < max_steps):
+                        break
+                return fin_jit(p, carry)
             if chunks is None:
                 if latent is not None:
                     return sample_jit(p, k_batch, ts)
                 return sample_jit(p, k_batch, batch, ts)
             _, init_jit, seg_jit, fin_jit = sample_jit
-            carry = (init_jit(p, k_batch, ts) if latent is not None
-                     else init_jit(p, k_batch, batch, ts))
+            # init/finalize see a 1-row grid slice: the segment contract
+            # restricts their ts use to dtype (samplers/base.py), which
+            # keeps these programs NFE-independent (one compile per
+            # sampler, shared across the whole NFE sweep)
+            ts1 = ts[:1]
+            carry = (init_jit(p, k_batch, ts1) if latent is not None
+                     else init_jit(p, k_batch, batch, ts1))
             for chunk in chunks:
                 carry = seg_jit(p, carry, chunk)
-            return fin_jit(p, carry, ts)
+            return fin_jit(p, carry, ts1)
 
     total_nfe = 0
     n_batches = -(-n_samples // per_step)

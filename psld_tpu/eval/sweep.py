@@ -84,21 +84,28 @@ def _make_quality_fn(ref_dir, ref_stats, weights, batch, swd=False,
 
 def run_sweep(config, samplers, nfes, strides, out_dir, ref_dir=None,
               ref_stats=None, weights=None, fid_batch=64,
-              swd=False, kid=False) -> list:
+              swd=False, kid=False, preloaded=None, jit_cache=None) -> list:
     """Sample `config`'s checkpoint under every combination; returns the
-    list of result records (also appended to <out_dir>/sweep.jsonl)."""
+    list of result records (also appended to <out_dir>/sweep.jsonl).
+
+    ``preloaded=(net, params)`` / ``jit_cache`` (caller-owned dict) let a
+    driver split one logical sweep across several calls — e.g. different
+    NFE subsets per stride — without reloading the checkpoint or
+    recompiling shared sampler programs between calls."""
     from psld_tpu.config import ConfigDict
     from psld_tpu.eval.generate import load_eval_state, sample
 
     if str(config.evaluation.save_mode) != "image":
         raise ValueError("the sweep's quality metrics read PNG directories;"
                          " set evaluation.save_mode=image")
-    preloaded = load_eval_state(config)
+    if preloaded is None:
+        preloaded = load_eval_state(config)
     quality = _make_quality_fn(ref_dir, ref_stats, weights, fid_batch,
                                swd=swd, kid=kid)
     os.makedirs(out_dir, exist_ok=True)
     jsonl = os.path.join(out_dir, "sweep.jsonl")
-    jit_cache = {}
+    if jit_cache is None:
+        jit_cache = {}
     results = []
     compiled = set()
     for sampler_name in samplers:

@@ -33,8 +33,17 @@ def supports_segments(sampler) -> bool:
     """Whether ``sampler`` implements the segmented protocol
     (``segment_init / segment_xs / segment_body / segment_finalize``) —
     every fixed-grid sampler does (the SDE family, rk_ode, ei_ode /
-    cc_ei_ode); host-loop (bb_ode) and while_loop (adaptive_ode)
-    samplers cannot be row-segmented."""
+    cc_ei_ode); the host-loop bb_ode cannot be row-segmented
+    (adaptive_ode has its own bounded-dispatch protocol,
+    ``adaptive_init/run/finalize``).
+
+    CONTRACT: ``segment_init`` and ``segment_finalize`` may use their
+    ``ts`` argument only for its DTYPE (grid values belong in
+    ``segment_xs``). The eval driver exploits this by passing a 1-row
+    slice, which keeps the compiled init/finalize programs independent
+    of NFE — a sampler x NFE sweep then compiles each sampler's programs
+    once (byte-identity across dispatch boundaries is pinned by
+    tests/test_e2e_pipeline.py)."""
     return all(hasattr(sampler, m) for m in
                ("segment_init", "segment_xs", "segment_body",
                 "segment_finalize"))

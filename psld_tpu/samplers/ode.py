@@ -193,24 +193,48 @@ class AdaptiveODESampler(Sampler):
         # a non-finite probe (diverged f1) must not stall the solve
         return jnp.where(jnp.isfinite(h), h, (t_end - t0) * 1e-3)
 
-    def sample_with_nfe(self, key, batch, denoise=True, eps=1e-3):
-        del key
+    # -- bounded-dispatch protocol (the adaptive analogue of the fixed-grid
+    # samplers' ``nfe_per_dispatch`` segmentation): the while_loop carry
+    # (y, k1, t, h, nfe, steps) is a pytree the host can chain, and
+    # ``adaptive_run`` caps the trip count per dispatch. Chaining dispatches
+    # applies the IDENTICAL body the same number of times in the same order
+    # as the unbounded loop, so trajectories match bit for bit
+    # (tests/test_samplers.py::test_adaptive_segmented_identity); only the
+    # dispatch boundaries — and hence the per-dispatch wall-clock the
+    # tunneled runtime's ~60 s watchdog sees — move. One while iteration
+    # costs 6 NFE (7 stages, FSAL reuses the first).
+    NFE_PER_ITER = 6
+
+    def adaptive_init(self, batch, eps=1e-3):
+        """Initial carry: f0 evaluation + SciPy's initial-step heuristic
+        (2 NFE)."""
         y = batch
+        tdt = time_dtype()
+        t0 = jnp.asarray(0.0, tdt)
+        t_end = jnp.asarray(self.sde.T - eps, tdt)
+        f0 = self._drift(y, t0)
+        h = self._initial_step(y, f0, t0, t_end)
+        return (y, f0, t0, h, jnp.asarray(2, jnp.int32),
+                jnp.asarray(0, jnp.int32))
+
+    def adaptive_run(self, carry, eps=1e-3, max_iters: int = 0):
+        """Advance the solve by at most ``max_iters`` controller iterations
+        (0 = the full ``max_steps`` budget in one dispatch)."""
         tdt = time_dtype()
         a = jnp.asarray(_DP_A, tdt)
         c = jnp.asarray(_DP_C, tdt)
         b5 = jnp.asarray(_DP_B5, tdt)
         e = jnp.asarray(_DP_E, tdt)
-
-        t0 = jnp.asarray(0.0, tdt)
         t_end = jnp.asarray(self.sde.T - eps, tdt)
-        f0 = self._drift(y, t0)
-        h = self._initial_step(y, f0, t0, t_end)
-        nfe0 = jnp.asarray(2, jnp.int32)  # f0 + the initial-step probe
+        steps_in = carry[5]
+        cap = jnp.minimum(
+            jnp.asarray(self.max_steps, jnp.int32),
+            steps_in + max_iters if max_iters > 0
+            else jnp.asarray(self.max_steps, jnp.int32))
 
         def cond(carry):
             y, k1, t, h, nfe, steps = carry
-            return (t < t_end) & (steps < self.max_steps)
+            return (t < t_end) & (steps < cap)
 
         def body(carry):
             y, k1, t, h, nfe, steps = carry
@@ -250,15 +274,23 @@ class AdaptiveODESampler(Sampler):
             t = jnp.where(accept, t + h_c, t)
             return (y, k1, t, h_next, nfe + 6, steps + 1)
 
-        steps0 = jnp.asarray(0, jnp.int32)
-        y, _, _, _, nfe, _ = jax.lax.while_loop(
-            cond, body, (y, f0, t0, h, nfe0, steps0))
+        return jax.lax.while_loop(cond, body, carry)
 
+    def adaptive_finalize(self, carry, denoise=True, eps=1e-3):
+        """(y, nfe) after the optional mean-only denoise microstep."""
+        y, _, _, _, nfe, _ = carry
         if denoise:
+            t_end = jnp.asarray(self.sde.T - eps, time_dtype())
             dt_c = jnp.asarray(eps, y.dtype)
             y = y + self._drift(y, t_end) * dt_c
             nfe = nfe + 1
         return y, nfe
+
+    def sample_with_nfe(self, key, batch, denoise=True, eps=1e-3):
+        del key
+        carry = self.adaptive_init(batch, eps)
+        carry = self.adaptive_run(carry, eps)
+        return self.adaptive_finalize(carry, denoise=denoise, eps=eps)
 
     def sample(self, key, batch, ts, n_discrete_steps, denoise=True,
                eps=1e-3):

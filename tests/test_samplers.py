@@ -916,3 +916,37 @@ def test_non_fixed_grid_samplers_do_not_claim_segments():
         "name": "adaptive_ode", "rtol": 1e-5, "atol": 1e-5})
     assert not supports_segments(AdaptiveODESampler(
         acfg, asde, psld_exact_score_fn(asde)))
+
+
+@pytest.mark.parametrize("iters_pd", [1, 5])
+def test_adaptive_bounded_dispatch_identity(iters_pd):
+    """The adaptive_ode bounded-dispatch protocol (adaptive_init /
+    adaptive_run(max_iters=K) / adaptive_finalize chained from the host —
+    the watchdog-safe production path, eval/generate.py "adaseg") applies
+    the identical while_loop body the same number of times in the same
+    order as the unbounded single-dispatch solve, so the terminal state
+    AND the NFE counter must match bit for bit."""
+    cfg, sde = make_psld(sampler_extra={"name": "adaptive_ode",
+                                        "rtol": 1e-4, "atol": 1e-4})
+    sampler = AdaptiveODESampler(cfg, sde, psld_exact_score_fn(sde, 0.7))
+    z = sde.prior_sampling(jax.random.PRNGKey(0), (8, 2, 2, 1))
+    eps = 1e-3
+
+    ref_y, ref_nfe = jax.jit(
+        lambda z: sampler.sample_with_nfe(None, z, eps=eps))(z)
+
+    init = jax.jit(lambda z: sampler.adaptive_init(z, eps))
+    run = jax.jit(lambda c: sampler.adaptive_run(c, eps,
+                                                 max_iters=iters_pd))
+    fin = jax.jit(lambda c: sampler.adaptive_finalize(c, eps=eps))
+    carry = init(z)
+    t_end = float(sde.T) - eps
+    n_dispatches = 0
+    while float(carry[2]) < t_end and int(carry[5]) < sampler.max_steps:
+        carry = run(carry)
+        n_dispatches += 1
+    y, nfe = fin(carry)
+
+    assert n_dispatches > 1  # the cap actually split the solve
+    np.testing.assert_array_equal(np.asarray(y), np.asarray(ref_y))
+    assert int(nfe) == int(ref_nfe)
