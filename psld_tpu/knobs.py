@@ -19,6 +19,10 @@ model.score_fn.     lane-pad non-128-multiple       PSLD_PAD_ATTN=1/0
 model.score_fn.     resblock dropout impl           PSLD_DROPOUT_PALLAS /
   dropout_impl      (save_mask | hw |               PSLD_DROPOUT_REMAT
                     hw_inline | remat)
+model.score_fn.     GroupNorm normalize/act chain   PSLD_GN_BF16=1/0
+  gn_bf16           in the input dtype for bf16
+                    inputs (moment sums stay f32);
+                    the 256px bandwidth lever
 ==================  =============================  ====================
 
 ``dropout_impl`` threads through the model constructor
@@ -36,7 +40,7 @@ from __future__ import annotations
 
 import os
 
-_DEFAULTS = {"fused_gn": False, "pad_attn": False}
+_DEFAULTS = {"fused_gn": False, "pad_attn": False, "gn_bf16": False}
 # None = not configured yet (ops fall back to env-or-default)
 _state: dict = {k: None for k in _DEFAULTS}
 
@@ -79,12 +83,21 @@ def pad_attn() -> bool:
     return _DEFAULTS["pad_attn"] if v is None else v
 
 
+def gn_bf16() -> bool:
+    env = _env_bool("PSLD_GN_BF16")
+    if env is not None:
+        return env
+    v = _state["gn_bf16"]
+    return _DEFAULTS["gn_bf16"] if v is None else v
+
+
 def resolved(config=None) -> dict:
     """The effective knob values (env overrides applied) for run metadata.
     With a config, also reports the model-threaded ``dropout_impl``."""
     from psld_tpu.models.layers import resolve_dropout_impl
 
-    out = {"fused_gn": fused_gn(), "pad_attn": pad_attn()}
+    out = {"fused_gn": fused_gn(), "pad_attn": pad_attn(),
+           "gn_bf16": gn_bf16()}
     if config is not None:
         sf = None
         model = config.get("model") if hasattr(config, "get") else None

@@ -35,19 +35,32 @@ _ACTS = {
 
 def group_norm_act_reference(x, scale, bias, num_groups: int,
                              eps: float = 1e-6, act: str = "none"):
-    """NHWC GroupNorm (biased variance, matching nn.GroupNorm) + act."""
+    """NHWC GroupNorm (biased variance, matching nn.GroupNorm) + act.
+
+    ``PSLD_GN_BF16=1`` / ``model.score_fn.gn_bf16=true`` (knobs.gn_bf16)
+    runs the normalize+affine+act ELEMENTWISE chain in the input dtype for
+    non-f32 inputs instead of f32 — the 256px-roof experiment lever
+    (round-4 verdict weak #1: "the 256px graph keeps f32 GN/FIR
+    intermediates XLA does not downcast"). Moment sums stay f32 always:
+    the E[x^2]-E[x]^2 cancellation loses too many bf16 mantissa bits."""
+    from psld_tpu import knobs
+
     b, h, w, c = x.shape
     g = num_groups
-    xg = x.reshape(b, h * w, g, c // g).astype(jnp.float32)
+    cd = x.dtype if (x.dtype != jnp.float32 and knobs.gn_bf16()) \
+        else jnp.float32
+    xg = x.reshape(b, h * w, g, c // g)
+    x32 = xg.astype(jnp.float32)
     # single-pass moments (matching flax _compute_stats): two-pass
     # E[(x-mean)^2] materializes the centered tensor in HBM and measured
     # ~20% slower end-to-end on the 97.6M sampler step
-    mean = jnp.mean(xg, axis=(1, 3), keepdims=True)
-    mean2 = jnp.mean(xg * xg, axis=(1, 3), keepdims=True)
+    mean = jnp.mean(x32, axis=(1, 3), keepdims=True)
+    mean2 = jnp.mean(x32 * x32, axis=(1, 3), keepdims=True)
     var = jnp.maximum(mean2 - mean * mean, 0.0)
-    y = (xg - mean) * jax.lax.rsqrt(var + eps)
+    rs = jax.lax.rsqrt(var + eps)
+    y = (xg.astype(cd) - mean.astype(cd)) * rs.astype(cd)
     y = y.reshape(b, h, w, c)
-    y = y * scale.astype(jnp.float32) + bias.astype(jnp.float32)
+    y = y * scale.astype(cd) + bias.astype(cd)
     return _ACTS[act](y).astype(x.dtype)
 
 

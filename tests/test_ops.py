@@ -344,3 +344,37 @@ def test_fused_attention_unfriendly_shape_falls_back():
     out = fused_attention(q, q, q, 96**-0.5)
     assert out.shape == (2, 64, 96)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_group_norm_gn_bf16_knob(monkeypatch):
+    """PSLD_GN_BF16 (the 256px bandwidth lever): f32 inputs must be
+    BIT-unchanged with the knob on; bf16 inputs with the knob on must stay
+    within bf16 resolution of the f32-chain result (moment sums stay f32
+    either way)."""
+    import jax
+    import jax.numpy as jnp
+
+    from psld_tpu.ops.group_norm import group_norm_act_reference
+
+    key = jax.random.PRNGKey(0)
+    x32 = jax.random.normal(key, (2, 8, 8, 64), jnp.float32) * 3.0 + 1.0
+    scale = jnp.linspace(0.5, 1.5, 64, dtype=jnp.float32)
+    bias = jnp.linspace(-0.2, 0.2, 64, dtype=jnp.float32)
+
+    monkeypatch.delenv("PSLD_GN_BF16", raising=False)
+    ref32 = np.asarray(group_norm_act_reference(x32, scale, bias, 16,
+                                                1e-6, "swish"))
+    ref16 = np.asarray(group_norm_act_reference(
+        x32.astype(jnp.bfloat16), scale, bias, 16, 1e-6, "swish")
+        .astype(jnp.float32))
+    monkeypatch.setenv("PSLD_GN_BF16", "1")
+    on32 = np.asarray(group_norm_act_reference(x32, scale, bias, 16,
+                                               1e-6, "swish"))
+    on16 = np.asarray(group_norm_act_reference(
+        x32.astype(jnp.bfloat16), scale, bias, 16, 1e-6, "swish")
+        .astype(jnp.float32))
+
+    np.testing.assert_array_equal(on32, ref32)  # f32: knob is a no-op
+    # bf16 chain vs f32 chain on the same bf16 input: bf16-resolution close
+    np.testing.assert_allclose(on16, ref16, atol=0.05, rtol=0.05)
+    assert np.abs(on16 - ref16).mean() < 0.01
