@@ -1,10 +1,16 @@
-"""Benchmark: CIFAR-10 img/sec/chip at 1000-NFE Euler--Maruyama sampling.
+"""Benchmark: CIFAR-10 img/sec/chip at 1000-NFE Euler--Maruyama sampling,
+plus the production TRAIN step throughput in the same JSON line.
 
 Runs the flagship SOTA CIFAR-10 PSLD configuration (NCSN++ nf=128,
 ch_mult=[2,2,2], 8 resblocks, FIR, Fourier embeddings, progressive_input=
 residual -- 97.6M params; scripts_psld/sota/uncond/cifar10/*.sh) through
 the full compiled EM sampler (single lax.scan, NFE network evaluations)
-and reports throughput on one chip.
+and reports throughput on one chip. Then (round-5) times the production
+train step -- bf16, bs128, dropout_impl=hw_inline, donated buffers (the
+measured round-4 operating point) -- so train-perf regressions are
+driver-visible, not just sampling ones (the reference's training recipe
+is half its value, main/train_sde.py:114). ``train_*`` fields ride the
+same single JSON line.
 
 Baseline for ``vs_baseline``: the reference publishes no throughput
 numbers (BASELINE.md), so we use an explicit estimate of its 1000-NFE EM
@@ -12,7 +18,8 @@ throughput on one V100: ~0.25 img/s (97M-param NCSN++ at batch 16,
 ~16 ms/fwd => 16 s per 16-image batch x 1000 steps).
 
 Env overrides (CI/smoke): PSLD_BENCH_BATCH, PSLD_BENCH_NFE,
-PSLD_BENCH_NF (model width).
+PSLD_BENCH_NF (model width), PSLD_BENCH_TRAIN=0 (skip the train
+phase), PSLD_BENCH_TRAIN_BATCH (default 128).
 """
 
 from __future__ import annotations
@@ -106,19 +113,74 @@ def run_bench(batch: int | None = None, nfe: int | None = None) -> dict:
     # parameter materialization).
     fwd = jax.jit(lambda p, x, t: net.apply(p, x, t))
     z_abs = jax.ShapeDtypeStruct((batch, 32, 32, 6), jnp.float32)
-    fwd_flops = None
-    try:
-        cost = fwd.lower(shapes, z_abs, t0).cost_analysis()
+
+    def _flops_of(lowered):
+        cost = lowered.cost_analysis()
         if isinstance(cost, (list, tuple)):
             cost = cost[0]
-        if cost is not None:
-            fwd_flops = float(cost["flops"])
+        return float(cost["flops"]) if cost is not None else None
+
+    fwd_flops = None
+    try:
+        fwd_flops = _flops_of(fwd.lower(shapes, z_abs, t0))
     except Exception:
         pass
+
+    do_train = os.environ.get("PSLD_BENCH_TRAIN", "1") != "0"
+    train_bs = int(os.environ.get("PSLD_BENCH_TRAIN_BATCH", 128))
+    train_step = train_state0 = None
+    train_flops = None
+    if do_train:
+        # the production train operating point (PARITY round-4 item 1):
+        # bf16 master-weight step, hw_inline counter-hash dropout, donated
+        # buffers
+        from psld_tpu.losses import PSLDScoreLoss
+        from psld_tpu.train.state import init_state
+        from psld_tpu.train.steps import make_train_step
+
+        tcfg = compose([
+            "+dataset=cifar10/cifar10_psld",
+            "dataset.diffusion.data.root='/tmp'",
+            f"dataset.diffusion.model.score_fn.nf={nf}",
+            "dataset.diffusion.model.score_fn.ch_mult=[2,2,2]",
+            "dataset.diffusion.model.score_fn.num_res_blocks=8",
+            "dataset.diffusion.model.score_fn.attn_resolutions=[16]",
+            "dataset.diffusion.model.score_fn.dropout=0.15",
+            "dataset.diffusion.model.score_fn.progressive_input='residual'",
+            "dataset.diffusion.model.score_fn.fir=True",
+            "dataset.diffusion.model.score_fn.embedding_type='fourier'",
+            "+dataset.diffusion.model.score_fn.dropout_impl=hw_inline",
+            "+dataset.diffusion.training.bf16=True",
+        ]).dataset.diffusion
+        tsde = build_sde(tcfg)
+        tnet = build_score_model(tcfg)
+        criterion = PSLDScoreLoss(tcfg, tsde)
+        step_fn, optimizer = make_train_step(tnet, tsde, criterion, tcfg,
+                                             donate=True)
+        tshapes = jax.eval_shape(
+            tnet.init, jax.random.PRNGKey(0),
+            jnp.zeros((1, 32, 32, 6), jnp.float32),
+            jnp.full((1,), 0.5, jnp.float32))
+        abstract_state = jax.eval_shape(
+            lambda p: init_state(p, optimizer), tshapes)
+        batch_abs = jax.ShapeDtypeStruct((train_bs, 32, 32, 3), jnp.float32)
+        key_abs = jax.ShapeDtypeStruct((2,), jnp.uint32)
+        try:
+            train_flops = _flops_of(step_fn.lower(abstract_state, batch_abs,
+                                                  key_abs))
+        except Exception:
+            pass
+        train_step, train_shapes, train_opt = step_fn, tshapes, optimizer
+
     if os.environ.get("PSLD_BENCH_COST_ONLY"):
-        return {"cost_only": True, "flops": fwd_flops}
-    if fwd_flops is None:
-        fwd_flops = _cost_via_cpu_subprocess(batch, nfe, nf)
+        return {"cost_only": True, "flops": fwd_flops,
+                "train_flops": train_flops}
+    if fwd_flops is None or (do_train and train_flops is None):
+        sub = _cost_via_cpu_subprocess(batch, nfe, nf)
+        if fwd_flops is None:
+            fwd_flops = sub.get("flops") if sub else None
+        if train_flops is None and sub:
+            train_flops = sub.get("train_flops")
     program_flops = fwd_flops * nfe if fwd_flops else None
 
     # Build params host-side from eval_shape: keeps the benchmark to a
@@ -181,14 +243,42 @@ def run_bench(batch: int | None = None, nfe: int | None = None) -> dict:
         "baseline_is_estimate": True,
         "bf16": bf16,
     }
+    v5e_peak = 197e12
     if program_flops is not None:
         # Model FLOP utilization vs one v5e chip's bf16 peak (197 TFLOP/s,
         # public spec): nfe network forwards, EM-update overhead excluded.
-        v5e_peak = 197e12
         out["model_tflops_per_fwd"] = round(fwd_flops / 1e12, 6)
         out["program_tflops"] = round(program_flops / 1e12, 6)
         out["mfu_vs_v5e_bf16_peak"] = round(
             program_flops / elapsed / v5e_peak, 6)
+
+    if do_train:
+        from psld_tpu.train.state import init_state
+
+        rng_t = np.random.default_rng(1)
+        tparams = jax.tree_util.tree_map(
+            lambda s: jnp.asarray(
+                rng_t.standard_normal(s.shape).astype(s.dtype) * 0.02),
+            train_shapes)
+        tstate = init_state(tparams, train_opt)
+        tbatch = jnp.asarray(
+            rng_t.standard_normal((train_bs, 32, 32, 3)).astype(np.float32))
+        tstate, m = train_step(tstate, tbatch, jax.random.PRNGKey(2))
+        float(m["loss"])  # compile + warm (host fetch = real barrier)
+        n_iters = 10
+        t_start = time.time()
+        for i in range(n_iters):
+            tstate, m = train_step(tstate, tbatch, jax.random.PRNGKey(3 + i))
+        float(m["loss"])
+        t_el = (time.time() - t_start) / n_iters
+        out["train_img_per_s"] = round(train_bs / t_el, 1)
+        out["train_batch"] = train_bs
+        out["train_bf16"] = True
+        out["train_dropout_impl"] = "hw_inline"
+        if train_flops:
+            out["train_step_tflops"] = round(train_flops / 1e12, 6)
+            out["train_mfu_vs_v5e_bf16_peak"] = round(
+                train_flops / t_el / v5e_peak, 6)
     return out
 
 
@@ -214,7 +304,7 @@ def _cost_via_cpu_subprocess(batch: int, nfe: int, nf: int):
             [sys.executable, "-m", "psld_tpu.eval.bench"],
             env=env, capture_output=True, text=True, timeout=900)
         line = proc.stdout.strip().splitlines()[-1]
-        return json.loads(line).get("flops")
+        return json.loads(line)
     except Exception:
         return None
 
