@@ -392,22 +392,40 @@ def phase_trainattr():
 
     # whole-step counter-levers (vs the round-4 hw_inline 581 img/s row)
     sys.path.insert(0, "/root/repo/scripts")
-    from tpu_r4_measure import build_step, timed_steps
+    from tpu_r4_measure import build_step
 
     cells = [
+        # (name, extras, batch shape fed to the step)
         ("base_hw_inline",
-         ["+dataset.diffusion.model.score_fn.dropout_impl=hw_inline"]),
+         ["+dataset.diffusion.model.score_fn.dropout_impl=hw_inline"],
+         (bs, 32, 32, 3)),
+        # grad_accum=A wants [A, B, ...] stacked microbatches: same
+        # effective batch 128, backward tiled at bs64 — probes whether
+        # the backward convs tile better at the smaller M
         ("lever_grad_accum2",
          ["+dataset.diffusion.model.score_fn.dropout_impl=hw_inline",
-          "+dataset.diffusion.training.grad_accum=2"]),
+          "+dataset.diffusion.training.grad_accum=2"],
+         (2, bs // 2, 32, 32, 3)),
         ("lever_gn_bf16",
          ["+dataset.diffusion.model.score_fn.dropout_impl=hw_inline",
-          "+dataset.diffusion.model.score_fn.gn_bf16=true"]),
+          "+dataset.diffusion.model.score_fn.gn_bf16=true"],
+         (bs, 32, 32, 3)),
     ]
-    for name, extra in cells:
+    for name, extra, bshape in cells:
         try:
             step_fn, state = build_step(extra, bs)
-            compile_s, el = timed_steps(step_fn, state, bs)
+            batch = jax.random.normal(jax.random.PRNGKey(1), bshape,
+                                      jnp.float32)
+            t0 = time.time()
+            state, metrics = step_fn(state, batch, jax.random.PRNGKey(2))
+            float(metrics["loss"])
+            compile_s = time.time() - t0
+            t0 = time.time()
+            for i in range(10):
+                state, metrics = step_fn(state, batch,
+                                         jax.random.PRNGKey(3 + i))
+            float(metrics["loss"])
+            el = (time.time() - t0) / 10
             emit({"phase": "trainattr", "cell": name, "batch": bs,
                   "bf16": True, "compile_s": round(compile_s, 1),
                   "sec_per_step": round(el, 4),
