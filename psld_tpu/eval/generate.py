@@ -367,11 +367,21 @@ def _run_sampler(config, sde, sampler_factory, params, writer, batch_source,
                          else init_jit(p, k_batch, batch, ts))
                 t_end_val = float(sde.T) - eps
                 max_steps = sampler_factory(params).max_steps
+                prev_steps = -1
                 while True:
                     carry = run_jit(p, carry)
-                    # same predicate as the in-program cond: scalar fetch
+                    steps_now = int(carry[5])
+                    # zero-progress dispatch => the DEVICE's while cond is
+                    # false (solve done). This is the authoritative break:
+                    # re-deriving the cond on the host from fetched f64
+                    # scalars proved backend-sensitive (on the tunneled
+                    # runtime the host compare can disagree by an ulp and
+                    # spin no-op dispatches forever).
+                    if steps_now == prev_steps:
+                        break
+                    prev_steps = steps_now
                     if not (float(carry[2]) < t_end_val
-                            and int(carry[5]) < max_steps):
+                            and steps_now < max_steps):
                         break
                 return fin_jit(p, carry)
             if chunks is None:

@@ -68,6 +68,39 @@ def fetch_timed(fn, *args, n=1):
     return first, (time.time() - t0) / n, out
 
 
+def op_time(fn, x, *rest, iters=16):
+    """Per-iteration device time of ``fn(x, *rest)``: ``iters``
+    applications chained through a data dependency inside ONE jit, one
+    f32-scalar fetch at the end. The first measurement pass of this
+    script timed each op as its own dispatch — on the tunneled backend
+    the RTT + output transfer dominated (a (8,256,256,128) bf16 fetch is
+    ~17 MB; the all-op 'floor' row read 24 ms for a tiny add), making
+    every row tunnel-bandwidth, not op time."""
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def run(x, *rest):
+        def body(i, acc):
+            # acc*1e-30 keeps a loop-carried dependency; 1e-30 is
+            # representable in bf16 (same exponent range as f32), so the
+            # multiply cannot be constant-folded away
+            out = fn(x + acc.astype(x.dtype) * jnp.asarray(1e-30, x.dtype),
+                     *rest)
+            return acc + jnp.sum(out.astype(jnp.float32)) * 1e-30
+
+        return jax.lax.fori_loop(0, iters, body,
+                                 jnp.asarray(0.0, jnp.float32))
+
+    import numpy as np
+
+    float(run(x, *rest))  # compile + warm
+    t0 = time.time()
+    float(run(x, *rest))
+    el = time.time() - t0
+    return el / iters
+
+
 # --------------------------------------------------------------- hires ---
 def _hq256_sampler(bs):
     import jax
@@ -176,8 +209,8 @@ def phase_hires():
 
 def phase_hires_microops(bs):
     """Single-op rooflines at the celebahq256 top-pyramid shapes: who eats
-    the time? Each op timed as its own jit (dispatch overhead ~constant,
-    noted via the empty-op row)."""
+    the time? Ops timed via op_time (iterations chained in one jit,
+    scalar fetch) so tunnel RTT/transfer cannot dominate."""
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -186,11 +219,7 @@ def phase_hires_microops(bs):
     from psld_tpu.ops.upfirdn import conv_downsample_2d, upsample_conv_2d
 
     rng = np.random.default_rng(0)
-
-    def t_of(fn, *args, n=3):
-        jfn = jax.jit(fn)
-        _, el, _ = fetch_timed(jfn, *args, n=n)
-        return el
+    t_of = op_time
 
     rows = []
     for (h, c) in ((256, 128), (128, 128), (128, 256), (64, 256)):
@@ -225,9 +254,9 @@ def phase_hires_microops(bs):
         flops = 2 * bs * (2 * h) * (2 * h) * c * c * 9 / 4  # lhs-dilated
         rows.append({"op": "fir_up_conv", "h": h, "c": c, "sec": el,
                      "tflops_s": flops / el / 1e12})
-    # dispatch-overhead floor
+    # per-iteration floor of the chained-loop harness itself
     el = t_of(lambda x: x + 1.0, jnp.zeros((8, 8), jnp.float32))
-    rows.append({"op": "tiny_add_dispatch_floor", "sec": el})
+    rows.append({"op": "tiny_add_loop_floor", "sec": el})
     for r in rows:
         r = dict(r)
         r["sec"] = round(r["sec"], 5)
@@ -252,14 +281,35 @@ def phase_adaptive():
     cfg, sde, factory, params, make_timesteps = _build_sampler(bs)
     z = sde.prior_sampling(jax.random.PRNGKey(1), (bs, 32, 32, 3))
 
+    # diagnose the host/device f64 ulp mismatch seen on the first run
+    import jax.numpy as jnp
+
+    emit({"phase": "adaptive", "cell": "f64_probe",
+          "T_type": str(type(sde.T)),
+          "host_t_end": repr(float(sde.T) - 1e-3),
+          "dev_t_end": repr(float(jnp.asarray(sde.T - 1e-3, jnp.float64))),
+          "dev_roundtrip_0p999": repr(float(jnp.asarray(0.999,
+                                                        jnp.float64)))})
+
+    # hard iteration cap: with a pathological state (h collapse near the
+    # singular end) the controller could otherwise spin to the default
+    # max_steps=100k, ~5 h of dispatches — 3000 iterations = 18k NFE is
+    # far beyond any sane solve and still terminates in ~10 min
+    ada_max = int(os.environ.get("PSLD_ADA_MAX_ITERS", 3000))
+
     def ada_sampler(p, rtol):
         acfg = ConfigDict(cfg.to_dict())
         acfg["evaluation"] = {"sampler": {"name": "adaptive_ode",
-                                          "rtol": rtol, "atol": rtol}}
+                                          "rtol": rtol, "atol": rtol,
+                                          "max_steps": ada_max}}
         probe = factory(p)
         return AdaptiveODESampler(acfg, sde, probe.score_fn)
 
-    for rtol in (1e-2, 1e-3, 1e-4):
+    # PSLD_ADA_RTOLS=1e-3 limits the sweep (each tolerance bakes its own
+    # error-norm constants -> one server-side compile per rtol)
+    rtols = [float(x) for x in os.environ.get(
+        "PSLD_ADA_RTOLS", "1e-2,1e-3,1e-4").split(",")]
+    for rtol in rtols:
         max_steps = ada_sampler(params, rtol).max_steps
         # the sampler (with its bf16-cast score_fn) is rebuilt inside each
         # jit so params stay a traced argument, never baked-in constants
@@ -271,12 +321,29 @@ def phase_adaptive():
                       .adaptive_finalize(c, denoise=True, eps=1e-3))
         t0 = time.time()
         carry = init(params, z)
+        emit({"phase": "adaptive", "cell": f"init_done_rtol{rtol:g}",
+              "wall_s": round(time.time() - t0, 1)})
         n_disp = 0
         t_end = float(sde.T) - 1e-3
+        prev_steps = -1
         while True:
             carry = run(params, carry)
             n_disp += 1
-            if not (float(carry[2]) < t_end and int(carry[5]) < max_steps):
+            t_now, steps_now = float(carry[2]), int(carry[5])
+            if n_disp % 5 == 0 or n_disp == 1:
+                emit({"phase": "adaptive", "cell": "progress",
+                      "rtol": rtol, "dispatch": n_disp,
+                      "t_raw": repr(t_now), "h": float(carry[3]),
+                      "steps": steps_now,
+                      "wall_s": round(time.time() - t0, 1)})
+            # zero-progress dispatch = device cond false = solve done
+            # (authoritative; the host-side f64 compare can disagree by an
+            # ulp on this backend and spin forever — hit at dispatch 2 of
+            # the first on-chip run)
+            if steps_now == prev_steps:
+                break
+            prev_steps = steps_now
+            if not (t_now < t_end and steps_now < max_steps):
                 break
         y, nfe = fin(params, carry)
         y = np.asarray(y)
@@ -326,20 +393,17 @@ def phase_adaptive():
 
 
 # ----------------------------------------------------------- trainattr ---
-def phase_trainattr():
-    """Micro-op attribution of the flagship train-step backward gap +
-    whole-step counter-levers."""
+def phase_trainattr_micro():
+    """Micro-op attribution of the flagship train-step backward gap:
+    fwd / grad-input / grad-filter convs + GN fwd/bwd at the flagship's
+    level shapes (bs128 bf16), achieved TFLOP/s per class."""
     import jax
     import jax.numpy as jnp
     import numpy as np
 
     rng = np.random.default_rng(0)
     bs = 128
-
-    def t_of(fn, *args, n=3):
-        jfn = jax.jit(fn)
-        _, el, _ = fetch_timed(jfn, *args, n=n)
-        return el
+    t_of = op_time
 
     # per-class conv micro-bench at the flagship level shapes (32px,
     # ch_mult [2,2,2] -> c=256 at 32/16/8 after nf=128 doubling)
@@ -390,6 +454,13 @@ def phase_trainattr():
                   "c": c, "batch": bs, "sec": round(el, 5),
                   "gb_s": round(byts / el / 1e9, 1)})
 
+def phase_trainattr():
+    """Whole-step counter-levers + the micro attribution table."""
+    import jax
+    import jax.numpy as jnp
+
+    bs = 128
+    phase_trainattr_micro()
     # whole-step counter-levers (vs the round-4 hw_inline 581 img/s row)
     sys.path.insert(0, "/root/repo/scripts")
     from tpu_r4_measure import build_step
@@ -437,6 +508,119 @@ def phase_trainattr():
                   "error": repr(e)[:300]})
 
 
+def phase_gnbf16_gate():
+    """Quality gates for the gn_bf16 lever (+7.6% train, +8.5% 256px
+    sampling): (a) demo-scale train convergence A/B — loss traces with
+    the knob on must track the stock f32-chain run; (b) flagship EM-1000
+    sampling with the knob on — pixel stats + SWD vs data_ref must match
+    the matrix base cell. Mirrors the dropout-impl gating protocol
+    (scripts/tpu_dropout_convergence.py)."""
+    import glob
+
+    import numpy as np
+
+    from psld_tpu.config import compose
+    from psld_tpu.train.loop import train_sde
+
+    out = os.environ.get("PSLD_R5_DIR", "/tmp/psld_r5")
+    steps = int(os.environ.get("PSLD_GNGATE_STEPS", 3000))
+    base = [
+        "+dataset=cifar10/cifar10_psld",
+        "dataset.diffusion.data.name=synthetic",
+        f"dataset.diffusion.data.root={out}",
+        "dataset.diffusion.model.score_fn.nf=64",
+        "dataset.diffusion.model.score_fn.ch_mult=[1,2]",
+        "dataset.diffusion.model.score_fn.num_res_blocks=2",
+        "dataset.diffusion.model.score_fn.attn_resolutions=[16]",
+        "dataset.diffusion.model.score_fn.dropout=0.15",
+        "dataset.diffusion.model.score_fn.fir=True",
+        "+dataset.diffusion.model.score_fn.dropout_impl=hw_inline",
+        "+dataset.diffusion.training.bf16=True",
+        "dataset.diffusion.training.batch_size=128",
+        "dataset.diffusion.training.epochs=1000000",
+        "dataset.diffusion.training.chkpt_interval=1000000",
+        "dataset.diffusion.training.ema_decay=0.999",
+        "+dataset.diffusion.training.steps_per_dispatch=8",
+    ]
+    traces = {}
+    for arm, extra in (("f32_gn", []),
+                       ("gn_bf16",
+                        ["+dataset.diffusion.model.score_fn.gn_bf16=true"])):
+        res = f"{out}/gngate_{arm}"
+        cfg = compose(base + [
+            f"dataset.diffusion.training.results_dir={res}"]
+            + extra).dataset.diffusion
+        t0 = time.time()
+        train_sde(cfg, max_steps=steps)
+        losses = []
+        import json as _json
+
+        for line in open(f"{res}/metrics.jsonl"):
+            r = _json.loads(line)
+            if "loss" in r and "step" in r:
+                losses.append((r["step"], r["loss"]))
+        traces[arm] = losses
+        tail = [l for _, l in losses[-10:]]
+        emit({"phase": "gnbf16_gate", "cell": f"train_{arm}",
+              "steps": steps, "wall_s": round(time.time() - t0, 1),
+              "loss_tail_mean": round(float(np.mean(tail)), 5)})
+    # trace comparison at matched steps
+    a = dict(traces["f32_gn"])
+    b = dict(traces["gn_bf16"])
+    common = sorted(set(a) & set(b))[-20:]
+    rel = [abs(a[s] - b[s]) / max(1e-9, abs(a[s])) for s in common]
+    emit({"phase": "gnbf16_gate", "cell": "trace_delta",
+          "n_points": len(common),
+          "mean_rel_delta_last20": round(float(np.mean(rel)), 4),
+          "max_rel_delta_last20": round(float(np.max(rel)), 4)})
+
+    # (b) flagship sampling quality with the knob on
+    ckpts = sorted(
+        c for c in glob.glob(f"{out}/flagship/checkpoints/*epoch=*")
+        if not c.endswith(".meta.json"))
+    if ckpts:
+        os.environ["PSLD_GN_BF16"] = "1"
+        try:
+            from psld_tpu.eval.generate import sample
+            from psld_tpu.eval.pixel_stats import compare_dirs
+            from psld_tpu.eval.swd import swd_dirs
+
+            scfg = compose([
+                "+dataset=cifar10/cifar10_psld",
+                "dataset.diffusion.data.name=synthetic",
+                f"dataset.diffusion.data.root={out}",
+                "dataset.diffusion.model.score_fn.ch_mult=[2,2,2]",
+                "dataset.diffusion.model.score_fn.num_res_blocks=8",
+                "dataset.diffusion.model.score_fn.attn_resolutions=[16]",
+                "dataset.diffusion.model.score_fn.dropout=0.15",
+                "dataset.diffusion.model.score_fn.progressive_input="
+                "'residual'",
+                "dataset.diffusion.model.score_fn.fir=True",
+                "dataset.diffusion.model.score_fn.embedding_type='fourier'",
+                f"dataset.diffusion.evaluation.chkpt_path={ckpts[-1]}",
+                "dataset.diffusion.evaluation.sample_from=target",
+                "+dataset.diffusion.evaluation.bf16=true",
+                "dataset.diffusion.evaluation.batch_size=64",
+                "dataset.diffusion.evaluation.n_samples=1024",
+                "dataset.diffusion.evaluation.n_discrete_steps=1000",
+                "+dataset.diffusion.evaluation.nfe_per_dispatch=250",
+                f"dataset.diffusion.evaluation.save_path={out}/gngate_sample",
+            ]).dataset.diffusion
+            t0 = time.time()
+            n = sample(scfg)
+            stats = compare_dirs(f"{out}/gngate_sample/images",
+                                 f"{out}/data_ref")
+            swd = swd_dirs(f"{out}/gngate_sample/images",
+                           f"{out}/data_ref")
+            emit({"phase": "gnbf16_gate", "cell": "flagship_em1000",
+                  "n": int(n), "wall_s": round(time.time() - t0, 1),
+                  "delta": stats.get("delta", stats), "swd": swd,
+                  "matrix_base_swd_avg": 22.1,
+                  "matrix_base_tv_delta": 0.0003})
+        finally:
+            os.environ.pop("PSLD_GN_BF16", None)
+
+
 def main():
     import psld_tpu
 
@@ -447,7 +631,11 @@ def main():
     phases = sys.argv[1:] or ["hires", "adaptive", "trainattr"]
     for ph in phases:
         {"hires": phase_hires, "adaptive": phase_adaptive,
-         "trainattr": phase_trainattr}[ph]()
+         "trainattr": phase_trainattr,
+         "micro": lambda: (phase_hires_microops(8),
+                           phase_trainattr_micro()),
+         "gnbf16_gate": phase_gnbf16_gate,
+         }[ph]()
     emit({"phase": "r5_perf_done", "phases": phases})
 
 
