@@ -279,6 +279,28 @@ def phase_adaptive():
 
     bs = 64
     cfg, sde, factory, params, make_timesteps = _build_sampler(bs)
+
+    # use the trained round-5 flagship EMA params when present: adaptive
+    # NFE/quality is only meaningful on a real score field (random
+    # weights blow the PF-ODE up to |x| ~ 1e4); mirrors the reference's
+    # protocol of evaluating the trained ckpt under (nu,gamma)=(4.02,0.02)
+    out_dir = os.environ.get("PSLD_R5_DIR", "/tmp/psld_r5")
+    import glob as _glob
+
+    ckpts = sorted(
+        c for c in _glob.glob(f"{out_dir}/flagship/checkpoints/*epoch=*")
+        if not c.endswith(".meta.json"))
+    trained = bool(ckpts)
+    if trained:
+        from psld_tpu.train import checkpoint as ckpt_mod
+        from psld_tpu.train.state import init_state, make_optimizer
+
+        opt = make_optimizer(cfg.training.optimizer)
+        state = ckpt_mod.restore_checkpoint(ckpts[-1],
+                                            init_state(params, opt))
+        params = state.ema_params
+    emit({"phase": "adaptive", "cell": "params_source",
+          "trained_checkpoint": ckpts[-1] if trained else None})
     z = sde.prior_sampling(jax.random.PRNGKey(1), (bs, 32, 32, 3))
 
     # diagnose the host/device f64 ulp mismatch seen on the first run
@@ -290,6 +312,15 @@ def phase_adaptive():
           "dev_t_end": repr(float(jnp.asarray(sde.T - 1e-3, jnp.float64))),
           "dev_roundtrip_0p999": repr(float(jnp.asarray(0.999,
                                                         jnp.float64)))})
+
+    def xstats(y):
+        x = np.clip((np.asarray(y[..., :3], np.float64) + 1) / 2, 0, 1)
+        tv = (np.abs(np.diff(x, axis=1)).mean()
+              + np.abs(np.diff(x, axis=2)).mean()) / 2
+        return {"mean": round(float(x.mean()), 4),
+                "std": round(float(x.std()), 4),
+                "tv": round(float(tv), 4),
+                "data_ref": {"mean": 0.2987, "std": 0.2094, "tv": 0.015}}
 
     # hard iteration cap: with a pathological state (h collapse near the
     # singular end) the controller could otherwise spin to the default
@@ -356,7 +387,9 @@ def phase_adaptive():
               "img_per_s": round(bs / el, 4),
               "mfu": round(CIFAR_FWD_TFLOPS_PER_IMG * bs * nfe * 1e12
                            / el / V5E_PEAK, 4),
-              "out_std": round(float(y.std()), 4)})
+              "trained": trained,
+              "out_std": round(float(y.std()), 4),
+              "xstats": xstats(y)})
 
         # rk_ode (heun) at matched NFE: the fixed-grid on-device rival
         n_steps = max(2, nfe // 2)
