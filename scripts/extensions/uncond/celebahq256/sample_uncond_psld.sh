@@ -10,4 +10,8 @@ python -m psld_tpu.cli.sample +dataset=celebahq/celebahq256_psld \
     dataset.diffusion.evaluation.batch_size=8 \
     dataset.diffusion.evaluation.n_discrete_steps=1000 \
     +dataset.diffusion.evaluation.spatial=2 \
-    +dataset.diffusion.evaluation.bf16=true
+    +dataset.diffusion.evaluation.bf16=true \
+    +dataset.diffusion.model.score_fn.gn_bf16=true
+# gn_bf16: +8.5% at 256px (bf16 GN normalize/act chain, f32 moments);
+# single-chip operating point: batch_size=8 measured 62% MFU — bs2/bs4
+# sit in an XLA tiling valley (PARITY round-5 section 2).

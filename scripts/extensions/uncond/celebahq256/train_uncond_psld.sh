@@ -17,5 +17,6 @@ python -m psld_tpu.cli.train_sde +dataset=celebahq/celebahq256_psld \
     +dataset.diffusion.training.spatial=2 \
     +dataset.diffusion.training.grad_accum=2 \
     +dataset.diffusion.training.bf16=true \
+    +dataset.diffusion.model.score_fn.gn_bf16=true \
     +dataset.diffusion.training.steps_per_dispatch=4 \
     dataset.diffusion.training.results_dir=${RESULTS_DIR}

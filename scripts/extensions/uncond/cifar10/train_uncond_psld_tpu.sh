@@ -10,6 +10,12 @@
 #                                 conv epilogues (581 img/s / 64.4% MFU at
 #                                 bs128; convergence-gated — PARITY round-4
 #                                 section 1, flagship 20k-step longrun)
+#   gn_bf16=true                  +7.6% on top (625 img/s / 69.3% MFU):
+#                                 GroupNorm's normalize/act chain in bf16
+#                                 with f32 moment sums; gated — 3k-step A/B
+#                                 loss traces within 1%, flagship EM-1000
+#                                 sample quality unchanged (SWD 21.6 vs
+#                                 22.1; PARITY round-5 sections 2/5)
 #   batch_size=128                fills the v5e MXU (the reference's bs16 is
 #                                 a V100 memory artifact; LR is unchanged —
 #                                 the recipe's Adam+warmup absorbs it)
@@ -32,6 +38,7 @@ python -m psld_tpu.cli.train_sde +dataset=cifar10/cifar10_psld \
     dataset.diffusion.model.score_fn.fir=True \
     dataset.diffusion.model.score_fn.embedding_type='fourier' \
     +dataset.diffusion.model.score_fn.dropout_impl=hw_inline \
+    +dataset.diffusion.model.score_fn.gn_bf16=true \
     dataset.diffusion.model.sde.beta_min=8.0 \
     dataset.diffusion.model.sde.beta_max=8.0 \
     dataset.diffusion.model.sde.decomp_mode='lower' \
