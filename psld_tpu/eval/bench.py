@@ -81,6 +81,13 @@ def run_bench(batch: int | None = None, nfe: int | None = None) -> dict:
     from psld_tpu.samplers import make_timesteps
     from psld_tpu.train.loop import build_score_model, build_sde
 
+    # gn_bf16 (GroupNorm normalize/act chain in bf16, f32 moment sums) is
+    # the bench default since round 5: +8.5% sampling (2.34 vs 2.15
+    # img/s, 86.2% MFU) and +7% train, quality-gated on the trained
+    # flagship (EM-1000 SWD 21.6 vs 22.1, dTV 0.0002 — PARITY round-5).
+    # PSLD_GN_BF16=0 opts back to the stock f32 chain; it is a no-op for
+    # f32 runs (PSLD_BENCH_F32=1) by construction.
+    gn16 = os.environ.get("PSLD_GN_BF16", "1") != "0"
     cfg = compose([
         "+dataset=cifar10/cifar10_psld",
         "dataset.diffusion.data.root='/tmp'",
@@ -92,6 +99,7 @@ def run_bench(batch: int | None = None, nfe: int | None = None) -> dict:
         "dataset.diffusion.model.score_fn.progressive_input='residual'",
         "dataset.diffusion.model.score_fn.fir=True",
         "dataset.diffusion.model.score_fn.embedding_type='fourier'",
+        f"+dataset.diffusion.model.score_fn.gn_bf16={gn16}",
         "dataset.diffusion.model.sde.nu=4.02",
         "dataset.diffusion.model.sde.gamma=0.02",
     ]).dataset.diffusion
@@ -150,6 +158,7 @@ def run_bench(batch: int | None = None, nfe: int | None = None) -> dict:
             "dataset.diffusion.model.score_fn.fir=True",
             "dataset.diffusion.model.score_fn.embedding_type='fourier'",
             "+dataset.diffusion.model.score_fn.dropout_impl=hw_inline",
+            f"+dataset.diffusion.model.score_fn.gn_bf16={gn16}",
             "+dataset.diffusion.training.bf16=True",
         ]).dataset.diffusion
         tsde = build_sde(tcfg)
@@ -242,6 +251,7 @@ def run_bench(batch: int | None = None, nfe: int | None = None) -> dict:
         # no throughput numbers. Absolute img/s is the measured quantity.
         "baseline_is_estimate": True,
         "bf16": bf16,
+        "gn_bf16": gn16,
     }
     v5e_peak = 197e12
     if program_flops is not None:
