@@ -426,13 +426,25 @@ class SSCS2MSampler(SSCSSampler):
     only the deterministic score stage gains an order. The first interval
     (no history yet) is exactly one SSCS step.
 
-    Measured operating envelope (exact-score Gaussian transport,
-    tests/test_samplers.py): on UNIFORM grids the terminal-moment error
-    drops 1.2x / 4.2x / 2.5x vs SSCS at 20 / 50 / 100 NFE. On quadratic
-    grids or at <=10 NFE plain SSCS is better — the score term's curvature
-    blows up toward t = T (gamma-small covariance near-singularity) and
-    the AB2 extrapolation amplifies it — so sscs2m_sde is the uniform-
-    stride mid-NFE operating point, not a universal replacement.
+    Measured operating envelope — two regimes, measured separately:
+
+    * Exact-score Gaussian transport (tests/test_samplers.py): on
+      UNIFORM grids the terminal-moment error drops 1.2x / 4.2x / 2.5x
+      vs SSCS at 20 / 50 / 100 NFE; on quadratic grids or at <=10 NFE
+      plain SSCS transports moments better (the score term's curvature
+      blows up toward t = T and the AB2 extrapolation amplifies it).
+    * Trained 97.6M flagship, weight-free quality proxies (round-5
+      matrix, scripts/results_r5_matrix.jsonl): the picture INVERTS —
+      on QUADRATIC grids sscs2m dominates the whole sampler matrix
+      (NFE-50: SWD 18.7 vs plain SSCS 39.7, matching 1000-NFE EM
+      quality at ~20x its throughput; NFE-100: SWD 16.9), while on
+      uniform grids it shows no advantage over SSCS. The quadratic
+      grid clusters steps where the learned score actually varies,
+      which is precisely where the AB2 history pays off.
+
+    Recommended production operating point: quadratic stride, NFE
+    50-100. The exact-score caveat still governs moment-transport
+    applications (likelihood-style uses) on quadratic grids.
     """
 
     def _linear_mean(self, v, t, dt):
