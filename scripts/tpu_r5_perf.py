@@ -654,6 +654,114 @@ def phase_gnbf16_gate():
             os.environ.pop("PSLD_GN_BF16", None)
 
 
+# --------------------------------------------------------- hires_train ---
+def _hq256_train_cell(bs, tag, extra=(), extra_env=None, n_iters=8):
+    """One timed celebahq256 TRAIN-step cell (bf16, donated buffers).
+
+    MFU denominator: 3 x per-forward XLA-cost-model FLOPs x batch (fwd +
+    backward, no remat-recompute credit) — the same accounting as
+    STEP_TFLOPS_BS128 (= 3 x CIFAR_FWD_TFLOPS_PER_IMG x 128); client-side
+    cost_analysis returns None on the axon backend (DESIGN.md)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from psld_tpu.config import compose
+    from psld_tpu.losses import PSLDScoreLoss
+    from psld_tpu.train.loop import build_score_model, build_sde
+    from psld_tpu.train.state import init_state
+    from psld_tpu.train.steps import make_train_step
+
+    saved = {}
+    for k, v in (extra_env or {}).items():
+        saved[k] = os.environ.get(k)
+        os.environ[k] = v
+    try:
+        cfg = compose(["+dataset=celebahq/celebahq256_psld",
+                       "dataset.diffusion.data.root='/tmp'",
+                       "+dataset.diffusion.training.bf16=True",
+                       "+dataset.diffusion.training.remat=true",
+                       f"dataset.diffusion.training.batch_size={bs}",
+                       ] + list(extra)).dataset.diffusion
+        sde = build_sde(cfg)
+        net = build_score_model(cfg)
+        criterion = PSLDScoreLoss(cfg, sde)
+        shapes = jax.eval_shape(net.init, jax.random.PRNGKey(0),
+                                jnp.zeros((1, 256, 256, 6), jnp.float32),
+                                jnp.full((1,), 0.5, jnp.float32))
+        rng = np.random.default_rng(0)
+        params = jax.tree_util.tree_map(
+            lambda s: jnp.asarray(
+                rng.standard_normal(s.shape).astype(s.dtype) * 0.02),
+            shapes)
+        step_fn, optimizer = make_train_step(net, sde, criterion, cfg,
+                                             donate=True)
+        state = init_state(params, optimizer)
+        batch = jax.random.normal(jax.random.PRNGKey(1), (bs, 256, 256, 3),
+                                  jnp.float32)
+        step_tflops = 3.0 * HQ256_TFLOPS_PER_IMG * bs
+        t0 = time.time()
+        state, metrics = step_fn(state, batch, jax.random.PRNGKey(2))
+        loss0 = float(metrics["loss"])
+        compile_s = time.time() - t0
+        t0 = time.time()
+        for i in range(n_iters):
+            state, metrics = step_fn(state, batch, jax.random.PRNGKey(3 + i))
+        loss = float(metrics["loss"])
+        el = (time.time() - t0) / n_iters
+        assert loss == loss and loss0 == loss0, f"nan loss in {tag}"
+        emit({"phase": "hires_train", "cell": tag, "batch": bs,
+              "bf16": True, "remat": "remat=false" not in " ".join(extra),
+              "knobs": dict(extra_env or {}), "extra": list(extra),
+              "compile_s": round(compile_s, 1),
+              "step_tflops_3xfwd": round(step_tflops, 3),
+              "sec_per_step": round(el, 4),
+              "img_per_s": round(bs / el, 2),
+              "mfu": round(step_tflops * 1e12 / el / V5E_PEAK, 4)})
+        return el
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                os.environ.pop(k, None)
+            else:
+                os.environ[k] = v
+
+
+def phase_hires_train():
+    """256px TRAIN batch curve + knob A/Bs (round-4 point: bs2+remat
+    17.4 img/s; the sampling side showed bs2 sits in an XLA tiling
+    valley — does the train step too?)."""
+    only = os.environ.get("PSLD_HQTRAIN_CELLS")
+    curve = [int(b) for b in
+             os.environ.get("PSLD_HQTRAIN_BS", "2,8").split(",")]
+    best_bs, best = None, None
+    for bs in curve:
+        name = f"batch_curve_bs{bs}"
+        if only and name not in only.split(","):
+            continue
+        try:
+            el = _hq256_train_cell(bs, name)
+            if best is None or bs / el > best:
+                best_bs, best = bs, bs / el
+        except Exception as e:
+            emit({"phase": "hires_train", "cell": name,
+                  "error": repr(e)[:300]})
+    if best_bs is None:
+        best_bs = 8
+    for tag, extra, env in (
+            ("gn_bf16",
+             ["+dataset.diffusion.model.score_fn.gn_bf16=true"], None),
+            ("no_remat", ["dataset.diffusion.training.remat=false"], None)):
+        name = f"knob_{tag}_bs{best_bs}"
+        if only and name not in only.split(","):
+            continue
+        try:
+            _hq256_train_cell(best_bs, name, extra=extra, extra_env=env)
+        except Exception as e:
+            emit({"phase": "hires_train", "cell": name,
+                  "error": repr(e)[:300]})
+
+
 def main():
     import psld_tpu
 
@@ -664,7 +772,7 @@ def main():
     phases = sys.argv[1:] or ["hires", "adaptive", "trainattr"]
     for ph in phases:
         {"hires": phase_hires, "adaptive": phase_adaptive,
-         "trainattr": phase_trainattr,
+         "trainattr": phase_trainattr, "hires_train": phase_hires_train,
          "micro": lambda: (phase_hires_microops(8),
                            phase_trainattr_micro()),
          "gnbf16_gate": phase_gnbf16_gate,
